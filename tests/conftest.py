@@ -1,0 +1,47 @@
+"""Test configuration: force an 8-device virtual CPU mesh for sharding tests.
+
+Must set XLA flags before jax initializes — keep this at import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import numpy as np
+import pytest
+
+REFERENCE_DATA = pathlib.Path("/root/reference/test/data")
+
+
+@pytest.fixture(scope="session")
+def ref_data():
+    if not REFERENCE_DATA.exists():
+        pytest.skip("reference test data not available")
+    return REFERENCE_DATA
+
+
+@pytest.fixture(scope="session")
+def fml_grid(ref_data):
+    from upsp_tpu.io.plot3d import read_p3d_grid
+
+    return read_p3d_grid(str(ref_data / "fml_tc3_volume.grid"))
+
+
+@pytest.fixture(scope="session")
+def fml_model(fml_grid):
+    from upsp_tpu.geometry.grids import from_struct_grid
+
+    # GRID_TOLERANCE from fml_tc3_volume.tgts header
+    return from_struct_grid(fml_grid, tolerance=0.388202)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(20260817)
