@@ -5,12 +5,20 @@ Must set XLA flags before jax initializes — keep this at import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-force CPU for unit tests: fast compiles, float64 support, and a
+# virtual 8-device mesh.  Benchmarks (bench.py) run on the real TPU instead.
+# NOTE: in this environment the axon TPU plugin overrides the JAX_PLATFORMS
+# env var, so the config must be set through jax.config after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

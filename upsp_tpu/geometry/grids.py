@@ -140,39 +140,87 @@ def _node_normals_from_tris(vertices: np.ndarray, triangles: np.ndarray):
     )
 
 
-def find_overlapping_nodes(vertices: np.ndarray, tolerance: float) -> np.ndarray:
-    """Map every node to the lowest-index node within `tolerance` of it.
+def find_overlapping_nodes(grid: StructGrid, tolerance: float) -> np.ndarray:
+    """Zone-boundary overlap detection (P3DModel_::identifyOverlap semantics).
 
-    Returns superseded_by (N,) int32 — the primary (lowest) index of each
-    overlap group, or the node's own index when it overlaps nothing.
+    Only nodes on a zone's edge rows/columns participate; a pair within
+    ``tolerance`` overlaps only if the nodes come from *different* zones, or
+    from the same zone when it wraps onto itself (equal fast index with slow
+    indices 0 and max, or vice versa).  Supersession is by the lowest *direct*
+    partner, not transitive union (P3DModel.ipp:1346-1354); chains resolve in
+    ascending order exactly like the reference's adjust_solution loop.
+
+    Returns superseded_by (N,) int32: for each node, the node whose value it
+    mirrors (itself if primary / not overlapping).
     """
-    n = vertices.shape[0]
-    superseded_by = np.arange(n, dtype=np.int32)
-    if tolerance <= 0 or n == 0:
-        return superseded_by
-    tree = cKDTree(vertices)
-    pairs = tree.query_pairs(r=tolerance, output_type="ndarray")
+    n = grid.size
+    superseded_by = np.arange(n, dtype=np.int64)
+    if n == 0:
+        return superseded_by.astype(np.int32)
+    tol = max(tolerance, 1e-12)
+
+    # gather edge nodes of every zone with their (zone, fast j, slow k) index
+    edge_idx, edge_zone, edge_j, edge_k, zone_dims = [], [], [], [], []
+    base = 0
+    for z, dims in enumerate(grid.sz):
+        jmax, kmax = int(dims[0]), int(dims[1])  # j = fast dimension
+        zone_dims.append((jmax, kmax))
+        jj, kk = np.meshgrid(np.arange(jmax), np.arange(kmax), indexing="ij")
+        edge = (jj == 0) | (jj == jmax - 1) | (kk == 0) | (kk == kmax - 1)
+        j_e, k_e = jj[edge], kk[edge]
+        edge_idx.append(base + k_e * jmax + j_e)
+        edge_zone.append(np.full(j_e.shape, z))
+        edge_j.append(j_e)
+        edge_k.append(k_e)
+        base += jmax * kmax
+    edge_idx = np.concatenate(edge_idx)
+    edge_zone = np.concatenate(edge_zone)
+    edge_j = np.concatenate(edge_j)
+    edge_k = np.concatenate(edge_k)
+    pts = grid.xyz()[edge_idx]
+
+    tree = cKDTree(pts)
+    pairs = tree.query_pairs(r=tol, output_type="ndarray")
     if pairs.size == 0:
-        return superseded_by
-    # union-find over overlap pairs; primary = min index of the set
-    parent = np.arange(n, dtype=np.int64)
+        return superseded_by.astype(np.int32)
+    a, b = pairs[:, 0], pairs[:, 1]
+    same_zone = edge_zone[a] == edge_zone[b]
+    jmaxs = np.array([d[0] for d in zone_dims])
+    kmaxs = np.array([d[1] for d in zone_dims])
+    zja, zka = jmaxs[edge_zone[a]], kmaxs[edge_zone[a]]
+    wrap_k = (
+        (edge_j[a] == edge_j[b])
+        & (np.minimum(edge_k[a], edge_k[b]) == 0)
+        & (np.maximum(edge_k[a], edge_k[b]) == zka - 1)
+    )
+    wrap_j = (
+        (edge_k[a] == edge_k[b])
+        & (np.minimum(edge_j[a], edge_j[b]) == 0)
+        & (np.maximum(edge_j[a], edge_j[b]) == zja - 1)
+    )
+    ok = (~same_zone) | wrap_k | wrap_j
+    na, nb = edge_idx[a[ok]], edge_idx[b[ok]]
 
-    def find(i):
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:
-            parent[i], i = root, parent[i]
-        return root
+    # lowest direct partner per node
+    lo = np.minimum(na, nb)
+    hi = np.maximum(na, nb)
+    partner_min = np.full(n, np.iinfo(np.int64).max)
+    np.minimum.at(partner_min, hi, lo)
+    np.minimum.at(partner_min, lo, hi)  # partners are symmetric
+    has_partner = partner_min < np.iinfo(np.int64).max
+    direct = np.where(
+        has_partner & (partner_min < superseded_by), partner_min, superseded_by
+    )
 
-    for i, j in pairs:
-        ri, rj = find(i), find(j)
-        if ri != rj:
-            lo, hi = (ri, rj) if ri < rj else (rj, ri)
-            parent[hi] = lo
-    for i in range(n):
-        superseded_by[i] = find(i)
-    return superseded_by.astype(np.int32)
+    # resolve chains (sol[alt] = sol[curr] applied in ascending key order):
+    # iterate pointer-jumping until fixed point; superseded_by always points
+    # to a strictly lower index so this terminates quickly
+    prev = None
+    cur = direct
+    while prev is None or not np.array_equal(prev, cur):
+        prev = cur
+        cur = cur[cur]
+    return cur.astype(np.int32)
 
 
 def from_struct_grid(
@@ -186,7 +234,7 @@ def from_struct_grid(
     vertices = grid.xyz()
     triangles = grid.triangles()
     normals = _node_normals_from_quads(vertices, grid)
-    superseded_by = find_overlapping_nodes(vertices, tolerance)
+    superseded_by = find_overlapping_nodes(grid, tolerance)
     is_datanode = superseded_by == np.arange(vertices.shape[0], dtype=np.int32)
     return SurfaceModel(
         vertices=vertices,

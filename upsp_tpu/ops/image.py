@@ -1,0 +1,200 @@
+"""Image-space utilities: hot-pixel repair, blurs, scaling, histogram threshold.
+
+JAX (jit/vmap-safe) versions of the reference's OpenCV-based helpers
+(cpp/utils/cv_extras.cpp:138-272, cpp/lib/image_processing.ipp:11-60,
+cpp/utils/clustering.ipp:63-96 — behavior studied, not copied).  Everything in
+the per-frame path is branch-free so it fuses into the phase-1 XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def fix_hot_pixels(
+    img: jax.Array,
+    thresh: int = 4064,
+    min_change: int = 512,
+    max_hot: int = 5,
+) -> jax.Array:
+    """Replace hot pixels (>= thresh) by the median of their 4-neighbors.
+
+    If more than ``max_hot`` pixels look hot the frame is returned unchanged
+    (matches cv_extras.cpp:230-272 semantics; replacement requires
+    ``old - median > min_change``).  Vectorized: all hot pixels are repaired
+    against the *original* frame rather than sequentially.
+    """
+    x = img.astype(jnp.float32)
+    big = jnp.asarray(jnp.inf, jnp.float32)
+
+    up = jnp.concatenate([jnp.full_like(x[:1], big), x[:-1]], axis=0)
+    down = jnp.concatenate([x[1:], jnp.full_like(x[:1], big)], axis=0)
+    left = jnp.concatenate([jnp.full_like(x[:, :1], big), x[:, :-1]], axis=1)
+    right = jnp.concatenate([x[:, 1:], jnp.full_like(x[:, :1], big)], axis=1)
+
+    neigh = jnp.stack([up, down, left, right], axis=0)  # (4, H, W)
+    valid = jnp.isfinite(neigh)
+    n_valid = valid.sum(axis=0)  # 2..4
+    sorted_n = jnp.sort(neigh, axis=0)  # invalid (inf) sink to the end
+    # median index n_valid // 2 over the valid ascending prefix
+    idx = (n_valid // 2).astype(jnp.int32)
+    median = jnp.take_along_axis(sorted_n, idx[None, ...], axis=0)[0]
+
+    hot = img >= thresh
+    n_hot = hot.sum()
+    replace = hot & ((x - median) > min_change) & (n_hot <= max_hot)
+    return jnp.where(replace, median.astype(img.dtype), img)
+
+
+def convert_to_8u(img: np.ndarray) -> np.ndarray:
+    """Min-max scale to uint8 (diagnostic images; host-side)."""
+    img = np.asarray(img, np.float64)
+    lo, hi = img.min(), img.max()
+    scale = 255.0 / (hi - lo) if hi > lo else 0.0
+    return np.rint((img - lo) * scale).clip(0, 255).astype(np.uint8)
+
+
+def _reflect101_pad(x: jax.Array, r: int) -> jax.Array:
+    """BORDER_REFLECT_101 padding on both spatial axes (cv2 default)."""
+    return jnp.pad(x, ((r, r), (r, r)), mode="reflect")
+
+
+def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """OpenCV-compatible Gaussian kernel (sigma<=0 -> derived from ksize)."""
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    r = (ksize - 1) / 2
+    xs = np.arange(ksize) - r
+    k = np.exp(-(xs**2) / (2.0 * sigma**2))
+    return (k / k.sum()).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("ksize",))
+def gaussian_blur(img: jax.Array, ksize: int = 3, sigma: float = 0.0) -> jax.Array:
+    """Separable Gaussian blur with reflect-101 borders (cv2.GaussianBlur parity)."""
+    k = jnp.asarray(gaussian_kernel_1d(ksize, sigma))
+    r = ksize // 2
+    x = _reflect101_pad(img.astype(jnp.float32), r)
+    # horizontal then vertical 1-D convolutions via dot products over shifts
+    xh = sum(k[i] * x[:, i : i + img.shape[1]] for i in range(ksize))
+    xv = sum(k[i] * xh[i : i + img.shape[0], :] for i in range(ksize))
+    return xv
+
+
+@functools.partial(jax.jit, static_argnames=("ksize",))
+def box_blur(img: jax.Array, ksize: int = 3) -> jax.Array:
+    """Normalized box filter with reflect-101 borders (cv2.blur parity)."""
+    r = ksize // 2
+    x = _reflect101_pad(img.astype(jnp.float32), r)
+    xh = sum(x[:, i : i + img.shape[1]] for i in range(ksize))
+    xv = sum(xh[i : i + img.shape[0], :] for i in range(ksize))
+    return xv / float(ksize * ksize)
+
+
+def apply_filter(img: jax.Array, filter_type: str, ksize: int) -> jax.Array:
+    """Dispatch on the input-deck FilterType (none/gaussian/box)."""
+    if filter_type == "gaussian":
+        return gaussian_blur(img, ksize)
+    if filter_type == "box":
+        return box_blur(img, ksize)
+    return img.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Histogram-based patch threshold (phase-0, host-side numpy)
+
+
+def intensity_histc(img: np.ndarray, depth: int = 12, bins: int = 256):
+    """Histogram counts/edges over [0, 2^depth) with ceil-sized bins."""
+    img = np.asarray(img)
+    max_value = 2**depth
+    bin_sz = int(np.ceil(max_value / bins))
+    counts = np.zeros(bins, np.int64)
+    vals = img[img < max_value].astype(np.int64) // bin_sz
+    np.add.at(counts, vals, 1)
+    edges = np.arange(bins + 1, dtype=np.int64) * bin_sz
+    return edges, counts
+
+
+def find_peaks(data: np.ndarray, separation: int = 1) -> list:
+    """Local maxima with plateau handling and a minimum index separation."""
+    data = np.asarray(data, np.float64)
+    peaks = []
+    n = len(data)
+    plateau = False
+    plateau_begin = 0
+    for i in range(n - 1):
+        if not plateau:
+            rising = data[i] > data[i + 1] and (i == 0 or data[i] > data[i - 1])
+            if rising:
+                if peaks and (i - peaks[-1]) < separation:
+                    if data[peaks[-1]] < data[i]:
+                        peaks[-1] = i
+                    continue
+                peaks.append(i)
+            elif i > 0 and data[i] > data[i - 1] and data[i] == data[i + 1]:
+                plateau = True
+                plateau_begin = i
+        else:
+            if data[i] < data[i + 1]:
+                plateau = False
+            elif data[i] > data[i + 1]:
+                plateau = False
+                plateau_i = (i + plateau_begin) // 2
+                if peaks and (plateau_i - peaks[-1]) < separation:
+                    if data[peaks[-1]] < data[plateau_i]:
+                        peaks[-1] = plateau_i
+                    continue
+                peaks.append(plateau_i)
+    return peaks
+
+
+def first_min_threshold(counts: np.ndarray, separation: int = 1) -> int:
+    """Index of the first histogram valley after the first (dark) peak.
+
+    Used to size fiducial patches to their darkened pixels
+    (psp_process.cpp:2157-2158).
+    """
+    counts = np.asarray(counts, np.float64)
+    max_peaks = find_peaks(counts, separation)
+    if not max_peaks:
+        return 0
+    with np.errstate(divide="ignore"):
+        inv = np.where(counts > 0, 1.0 / counts, np.inf)
+    min_peaks = find_peaks(np.where(np.isfinite(inv), inv, np.nanmax(inv[np.isfinite(inv)]) if np.isfinite(inv).any() else 0.0), separation)
+    first_max = max_peaks[0]
+    for p in min_peaks:
+        if p > first_max:
+            return p
+    return 0
+
+
+def patch_threshold_from_frame(img: np.ndarray, bit_depth: int = 12) -> int:
+    """The full reference recipe: histc -> first-min valley -> +5 offset."""
+    edges, counts = intensity_histc(img, depth=bit_depth, bins=256)
+    return int(edges[first_min_threshold(counts, 5)] + 5)
+
+
+def scale_image(img: np.ndarray, scale: float) -> np.ndarray:
+    """Clip to `scale`, normalize to [0,1], round to uint8 [0,255]."""
+    img_temp = np.minimum(np.asarray(img), scale).astype(np.float64) / scale
+    return np.rint(img_temp * 255).astype(np.uint8)
+
+
+def scale_image_max_inlier(img: np.ndarray) -> np.ndarray:
+    """Normalize so the max *inlier* intensity maps to 255 (uint8).
+
+    Max inlier = largest sorted intensity[i] with
+    ``0.9 * intensity[i] <= intensity[round(i * 0.999)]`` — robust to a few
+    saturated pixels (docs/md/upsp-swdd.md:94-108,
+    python/upsp/cam_cal_utils/img_utils.py:57-89 semantics).
+    """
+    img_flat = np.sort(np.asarray(img).ravel())
+    i = len(img_flat) - 1
+    while i > 0 and 0.9 * img_flat[i] > img_flat[min(int(np.rint(i * 0.999)), i - 1)]:
+        i -= 1
+    return scale_image(img, scale=float(img_flat[i]))

@@ -1,0 +1,235 @@
+"""Ray-triangle intersection against the flattened BVH — pure JAX, TPU-friendly.
+
+The reference traverses a pointer BVH per ray on the CPU
+(cpp/raycast/pspRT.cpp — studied, not copied).  Here rays are a *batch*: a
+stackless escape-link walk runs inside ``lax.while_loop``, vmapped over rays, so
+XLA executes all rays in lockstep with gathers instead of pointer chasing.
+Möller–Trumbore triangle intersection; leaf triangles are tested in a masked
+fixed-size block.
+
+Raycasting only runs in Phase 0 / calibration, so the throughput target is
+modest; correctness and batch-friendliness dominate the design.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upsp_tpu.geometry.bvh import FlatBVH
+
+
+class BVHArrays(NamedTuple):
+    """Device-resident flattened BVH (a pytree mirror of FlatBVH)."""
+
+    bbox_min: jax.Array  # (M, 3)
+    bbox_max: jax.Array  # (M, 3)
+    escape: jax.Array  # (M,)
+    leaf_start: jax.Array  # (M,)
+    leaf_count: jax.Array  # (M,)
+    tri_v0: jax.Array  # (T, 3)
+    tri_e1: jax.Array  # (T, 3)
+    tri_e2: jax.Array  # (T, 3)
+    tri_id: jax.Array  # (T,)
+
+
+def bvh_to_device(bvh: FlatBVH, dtype=jnp.float32) -> BVHArrays:
+    return BVHArrays(
+        bbox_min=jnp.asarray(bvh.bbox_min, dtype),
+        bbox_max=jnp.asarray(bvh.bbox_max, dtype),
+        escape=jnp.asarray(bvh.escape),
+        leaf_start=jnp.asarray(bvh.leaf_start),
+        leaf_count=jnp.asarray(bvh.leaf_count),
+        tri_v0=jnp.asarray(bvh.tri_v0, dtype),
+        tri_e1=jnp.asarray(bvh.tri_e1, dtype),
+        tri_e2=jnp.asarray(bvh.tri_e2, dtype),
+        tri_id=jnp.asarray(bvh.tri_id),
+    )
+
+
+def moller_trumbore(origin, direction, v0, e1, e2, eps=1e-9):
+    """Batched Möller–Trumbore: returns (t, valid) per triangle row."""
+    pvec = jnp.cross(direction, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
+    tvec = origin - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(direction * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    valid = (
+        (jnp.abs(det) > eps)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > eps)
+    )
+    return t, valid
+
+
+@functools.partial(jax.jit, static_argnames=("max_leaf",))
+def bvh_intersect(bvh: BVHArrays, origins, directions, max_leaf: int = 4):
+    """Closest-hit query for a batch of rays.
+
+    origins/directions: (R, 3).  Returns (t (R,), prim_id (R,) original triangle
+    index or -1, hit (R,) bool).
+    """
+    M = bvh.bbox_min.shape[0]
+    inf = jnp.asarray(jnp.inf, bvh.tri_v0.dtype)
+
+    def one_ray(origin, direction):
+        inv_dir = jnp.where(
+            jnp.abs(direction) > 1e-30, 1.0 / direction, jnp.sign(direction) * 1e30
+        )
+        inv_dir = jnp.where(direction == 0.0, 1e30, inv_dir)
+
+        def cond(state):
+            node, best_t, best_prim = state
+            return node < M
+
+        def body(state):
+            node, best_t, best_prim = state
+            bmin = bvh.bbox_min[node]
+            bmax = bvh.bbox_max[node]
+            t0 = (bmin - origin) * inv_dir
+            t1 = (bmax - origin) * inv_dir
+            tnear = jnp.max(jnp.minimum(t0, t1))
+            tfar = jnp.min(jnp.maximum(t0, t1))
+            box_hit = (tfar >= jnp.maximum(tnear, 0.0)) & (tnear < best_t)
+
+            start = bvh.leaf_start[node]
+            count = bvh.leaf_count[node]
+            is_leaf = start >= 0
+
+            def test_leaf(bt, bp):
+                idx = start + jnp.arange(max_leaf)
+                mask = jnp.arange(max_leaf) < count
+                safe = jnp.where(mask, idx, 0)
+                v0 = bvh.tri_v0[safe]
+                e1 = bvh.tri_e1[safe]
+                e2 = bvh.tri_e2[safe]
+                t, valid = moller_trumbore(origin, direction, v0, e1, e2)
+                t = jnp.where(valid & mask & (t < bt), t, inf)
+                j = jnp.argmin(t)
+                better = t[j] < bt
+                bt = jnp.where(better, t[j], bt)
+                bp = jnp.where(better, bvh.tri_id[safe[j]], bp)
+                return bt, bp
+
+            do_leaf = box_hit & is_leaf
+            best_t, best_prim = jax.lax.cond(
+                do_leaf, test_leaf, lambda bt, bp: (bt, bp), best_t, best_prim
+            )
+            descend = box_hit & (~is_leaf)
+            nxt = jnp.where(descend, node + 1, bvh.escape[node])
+            return nxt, best_t, best_prim
+
+        init = (jnp.int32(0), inf, jnp.int32(-1))
+        _, best_t, best_prim = jax.lax.while_loop(cond, body, init)
+        return best_t, best_prim, best_prim >= 0
+
+    return jax.vmap(one_ray)(origins, directions)
+
+
+def brute_force_intersect(tri_v0, tri_e1, tri_e2, origins, directions):
+    """O(R*T) oracle for tests; returns (t, prim, hit) with prim in slot order."""
+
+    def one(origin, direction):
+        t, valid = moller_trumbore(origin, direction, tri_v0, tri_e1, tri_e2)
+        t = jnp.where(valid, t, jnp.inf)
+        j = jnp.argmin(t)
+        return t[j], jnp.where(jnp.isfinite(t[j]), j, -1), jnp.isfinite(t[j])
+
+    return jax.vmap(one)(origins, directions)
+
+
+@functools.partial(jax.jit, static_argnames=("max_leaf",))
+def bvh_any_hit_before(bvh: BVHArrays, origins, directions, t_max, max_leaf: int = 4):
+    """Occlusion query: does any triangle lie at t in (eps, t_max)?
+
+    Used for target visibility (python/upsp/cam_cal_utils/visibility.py:392
+    semantics: offset origins, ray toward the camera, any hit = occluded).
+    """
+    t, prim, hit = bvh_intersect(bvh, origins, directions, max_leaf=max_leaf)
+    return hit & (t < t_max)
+
+
+def node_visibility(
+    bvh: BVHArrays,
+    triangles: jax.Array,  # (T, 3) node indices per original tri id
+    vertices: jax.Array,  # (N, 3)
+    node_indices: jax.Array,  # (K,) nodes to test
+    cam_center: jax.Array,  # (3,)
+    max_leaf: int = 4,
+    n_jitter: int = 6,
+    jitter: float = 1e-4,
+):
+    """Per-node visibility using the reference's hit-triangle-contains-node test.
+
+    A node is visible from the camera iff the closest hit of the ray
+    camera->node lands on a triangle incident to that node; 6 axis-jittered
+    retries absorb edge/vertex grazing (psp_process.cpp:270-295 semantics).
+    Returns (visible (K,) bool, closest-hit prim (K,)).
+    """
+    pos = vertices[node_indices]
+
+    def hits_own_tri(p, nidx):
+        d = p - cam_center
+        dist = jnp.linalg.norm(d)
+        d = d / dist
+        t, prim, hit = bvh_intersect(
+            bvh, p[None] * 0 + cam_center[None], d[None], max_leaf=max_leaf
+        )
+        prim = prim[0]
+        tri = triangles[jnp.maximum(prim, 0)]
+        ok = hit[0] & jnp.any(tri == nidx)
+        return ok, prim
+
+    # vectorized primary pass
+    d = pos - cam_center[None, :]
+    dist = jnp.linalg.norm(d, axis=1, keepdims=True)
+    dirs = d / dist
+    origins = jnp.broadcast_to(cam_center, pos.shape)
+    t, prim, hit = bvh_intersect(bvh, origins, dirs, max_leaf=max_leaf)
+    tri_nodes = triangles[jnp.maximum(prim, 0)]
+    visible = hit & jnp.any(tri_nodes == node_indices[:, None], axis=1)
+
+    # jittered retries for nodes that failed (edge/vertex grazing)
+    offsets = jnp.array(
+        [
+            [-jitter, 0, 0],
+            [jitter, 0, 0],
+            [0, -jitter, 0],
+            [0, jitter, 0],
+            [0, 0, -jitter],
+            [0, 0, jitter],
+        ],
+        pos.dtype,
+    )[:n_jitter]
+    for k in range(n_jitter):
+        pos_k = pos + offsets[k]
+        dk = pos_k - cam_center[None, :]
+        dk = dk / jnp.linalg.norm(dk, axis=1, keepdims=True)
+        _, prim_k, hit_k = bvh_intersect(bvh, origins, dk, max_leaf=max_leaf)
+        trik = triangles[jnp.maximum(prim_k, 0)]
+        vis_k = hit_k & jnp.any(trik == node_indices[:, None], axis=1)
+        visible = visible | vis_k
+    return visible, prim
+
+
+def oblique_cos_filter(normals, dirs, oblique_angle_deg):
+    """Keep points whose surface faces the camera within the oblique limit.
+
+    ``dirs`` are unit camera->point directions; the reference keeps a point when
+    the angle between its normal and the ray exceeds ``180 - oblique_angle``
+    degrees (psp_process.cpp:1606, getTargets) — i.e. the normal points back at
+    the camera steeply enough.
+    """
+    thresh = jnp.cos(jnp.deg2rad(180.0 - oblique_angle_deg))
+    cos_theta = jnp.sum(normals * dirs, axis=-1)
+    # angle > thresh_angle  <=>  cos(angle) < cos(thresh_angle)
+    return cos_theta < thresh

@@ -1,0 +1,184 @@
+"""Per-frame image registration: ECC affine alignment, pure JAX.
+
+Replaces ``cv::findTransformECC`` + ``cv::warpAffine`` (cpp/lib/
+registration.cpp:31-84 — behavior studied, not copied) with the
+Evangelidis–Psarakis Enhanced-Correlation-Coefficient maximization written as a
+``lax.while_loop`` of fused image ops + one small MXU matmul per iteration.
+
+Conventions (identical to the reference):
+- The warp ``W`` (2x3) maps *template/reference* pixel coords to *input* image
+  coords: an aligned output is ``out(x) = input(W @ [x, y, 1])``.
+- Iteration cap 50, epsilon 1e-3 on the correlation-coefficient increment
+  (psp_process.cpp:1665-1667 defaults).
+- Bilinear (or nearest) sampling, constant-zero borders.
+
+Everything is ``vmap``-able over a frame batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from upsp_tpu.ops.image import gaussian_blur
+
+
+def identity_warp(dtype=jnp.float32) -> jax.Array:
+    return jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype)
+
+
+def _sample_bilinear(img: jax.Array, xs: jax.Array, ys: jax.Array) -> jax.Array:
+    """Bilinear sample with constant-0 out-of-bounds (cv2 BORDER_CONSTANT)."""
+    H, W = img.shape
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = xs - x0
+    fy = ys - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        return jnp.where(inb, v, 0.0)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+
+
+def _sample_nearest(img: jax.Array, xs: jax.Array, ys: jax.Array) -> jax.Array:
+    H, W = img.shape
+    xi = jnp.rint(xs).astype(jnp.int32)
+    yi = jnp.rint(ys).astype(jnp.int32)
+    inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+    return jnp.where(inb, v, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpolation",))
+def warp_affine(img: jax.Array, warp: jax.Array, interpolation: str = "linear"):
+    """out(y, x) = img(W @ [x, y, 1]) — cv2.warpAffine WARP_INVERSE_MAP parity."""
+    H, W = img.shape
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=img.dtype), jnp.arange(W, dtype=img.dtype), indexing="ij"
+    )
+    wx = warp[0, 0] * xs + warp[0, 1] * ys + warp[0, 2]
+    wy = warp[1, 0] * xs + warp[1, 1] * ys + warp[1, 2]
+    if interpolation == "nearest":
+        return _sample_nearest(img, wx, wy)
+    return _sample_bilinear(img, wx, wy)
+
+
+def _gradients(img: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Central differences with replicated edges ([-0.5, 0, 0.5] filter)."""
+    gx = jnp.zeros_like(img)
+    gx = gx.at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
+    gy = jnp.zeros_like(img)
+    gy = gy.at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
+    return gx, gy
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "gauss_size"))
+def ecc_affine(
+    ref: jax.Array,
+    inp: jax.Array,
+    max_iters: int = 50,
+    epsilon: float = 1e-3,
+    gauss_size: int = 5,
+):
+    """Estimate the 2x3 affine warp aligning ``inp`` to ``ref`` by ECC maximization.
+
+    Returns (warp (2,3), rho) where rho is the final correlation coefficient.
+    """
+    dtype = jnp.float32
+    tmpl = gaussian_blur(ref.astype(dtype), gauss_size)
+    img = gaussian_blur(inp.astype(dtype), gauss_size)
+    gx, gy = _gradients(img)
+
+    H, W = tmpl.shape
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=dtype), jnp.arange(W, dtype=dtype), indexing="ij"
+    )
+    n_pix = H * W
+    tmpl_zm = (tmpl - jnp.mean(tmpl)).reshape(-1)
+    tmpl_norm = jnp.linalg.norm(tmpl_zm)
+
+    def body(state):
+        warp, rho_prev, drho, it = state
+        wx = warp[0, 0] * xs + warp[0, 1] * ys + warp[0, 2]
+        wy = warp[1, 0] * xs + warp[1, 1] * ys + warp[1, 2]
+        iw = _sample_bilinear(img, wx, wy)
+        gxw = _sample_bilinear(gx, wx, wy)
+        gyw = _sample_bilinear(gy, wx, wy)
+
+        iw_zm = (iw - jnp.mean(iw)).reshape(-1)
+
+        # steepest-descent images for p = [a00 a10 a01 a11 tx ty]
+        G = jnp.stack(
+            [
+                (gxw * xs).reshape(-1),
+                (gyw * xs).reshape(-1),
+                (gxw * ys).reshape(-1),
+                (gyw * ys).reshape(-1),
+                gxw.reshape(-1),
+                gyw.reshape(-1),
+            ],
+            axis=1,
+        )  # (n_pix, 6)
+
+        Hmat = G.T @ G  # (6,6) — MXU
+        Hinv = jnp.linalg.inv(Hmat + 1e-12 * jnp.eye(6, dtype=dtype))
+        i_proj = G.T @ iw_zm
+        t_proj = G.T @ tmpl_zm
+        iw_norm2 = jnp.dot(iw_zm, iw_zm)
+        corr = jnp.dot(tmpl_zm, iw_zm)
+
+        num = iw_norm2 - i_proj @ Hinv @ i_proj
+        den = corr - t_proj @ Hinv @ i_proj
+        lam = num / jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
+        err = lam * tmpl_zm - iw_zm
+        dp = Hinv @ (G.T @ err)
+
+        dwarp = jnp.array(
+            [[dp[0], dp[2], dp[4]], [dp[1], dp[3], dp[5]]], dtype
+        )
+        new_warp = warp + dwarp
+        rho = corr / jnp.maximum(tmpl_norm * jnp.sqrt(iw_norm2), 1e-12)
+        return new_warp, rho, jnp.abs(rho - rho_prev), it + 1
+
+    def cond(state):
+        _, _, drho, it = state
+        return (it < max_iters) & (drho >= epsilon)
+
+    init = (identity_warp(dtype), jnp.asarray(-1.0, dtype), jnp.asarray(jnp.inf, dtype), 0)
+    warp, rho, _, _ = jax.lax.while_loop(cond, body, init)
+    return warp, rho
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "interpolation"))
+def register_frame(
+    ref: jax.Array,
+    inp: jax.Array,
+    max_iters: int = 50,
+    epsilon: float = 1e-3,
+    interpolation: str = "linear",
+):
+    """ECC-align ``inp`` to ``ref`` and return (aligned image, warp, rho).
+
+    Mirrors upsp::register_pixel (registration.cpp:31-84): the warp estimated on
+    blurred/float images is applied to the *raw* input.
+    """
+    warp, rho = ecc_affine(ref, inp, max_iters=max_iters, epsilon=epsilon)
+    aligned = warp_affine(inp.astype(jnp.float32), warp, interpolation=interpolation)
+    return aligned, warp, rho
