@@ -63,8 +63,25 @@ def _reflect101_pad(x: jax.Array, r: int) -> jax.Array:
     return jnp.pad(x, ((r, r), (r, r)), mode="reflect")
 
 
+_SMALL_GAUSSIAN = {
+    1: np.array([1.0], np.float32),
+    3: np.array([0.25, 0.5, 0.25], np.float32),
+    5: np.array([0.0625, 0.25, 0.375, 0.25, 0.0625], np.float32),
+    7: np.array(
+        [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+        np.float32,
+    ),
+}
+
+
 def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
-    """OpenCV-compatible Gaussian kernel (sigma<=0 -> derived from ksize)."""
+    """OpenCV-compatible Gaussian kernel.
+
+    For sigma<=0 and ksize in {1,3,5,7} cv2.getGaussianKernel returns fixed
+    binomial-ish kernels; larger sizes derive sigma from ksize.
+    """
+    if sigma <= 0 and ksize in _SMALL_GAUSSIAN:
+        return _SMALL_GAUSSIAN[ksize]
     if sigma <= 0:
         sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
     r = (ksize - 1) / 2

@@ -110,9 +110,7 @@ def ecc_affine(
     ys, xs = jnp.meshgrid(
         jnp.arange(H, dtype=dtype), jnp.arange(W, dtype=dtype), indexing="ij"
     )
-    n_pix = H * W
-    tmpl_zm = (tmpl - jnp.mean(tmpl)).reshape(-1)
-    tmpl_norm = jnp.linalg.norm(tmpl_zm)
+    tmpl_flat = tmpl.reshape(-1)
 
     def body(state):
         warp, rho_prev, drho, it = state
@@ -122,7 +120,23 @@ def ecc_affine(
         gxw = _sample_bilinear(gx, wx, wy)
         gyw = _sample_bilinear(gy, wx, wy)
 
-        iw_zm = (iw - jnp.mean(iw)).reshape(-1)
+        # validity mask: pixels whose warped sample lies fully in-bounds.
+        # All statistics/projections are restricted to it (findTransformECC
+        # warps its mask the same way); without this the constant-0 border
+        # drags the mean and diverges the solve.
+        m = (
+            (wx >= 0.0) & (wx <= W - 1.0) & (wy >= 0.0) & (wy <= H - 1.0)
+        ).astype(dtype)
+        area = jnp.maximum(jnp.sum(m), 1.0)
+        mf = m.reshape(-1)
+
+        t_mean = jnp.sum(tmpl_flat * mf) / area
+        tmpl_zm = (tmpl_flat - t_mean) * mf
+        tmpl_norm = jnp.maximum(jnp.linalg.norm(tmpl_zm), 1e-12)
+
+        iw_flat = iw.reshape(-1) * mf
+        i_mean = jnp.sum(iw_flat) / area
+        iw_zm = (iw_flat - i_mean) * mf
 
         # steepest-descent images for p = [a00 a10 a01 a11 tx ty]
         G = jnp.stack(
@@ -135,7 +149,7 @@ def ecc_affine(
                 gyw.reshape(-1),
             ],
             axis=1,
-        )  # (n_pix, 6)
+        ) * mf[:, None]  # (n_pix, 6)
 
         Hmat = G.T @ G  # (6,6) — MXU
         Hinv = jnp.linalg.inv(Hmat + 1e-12 * jnp.eye(6, dtype=dtype))
