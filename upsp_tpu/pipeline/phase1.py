@@ -1,0 +1,132 @@
+"""Phase 1: the fused per-frame program — register, patch, filter, project.
+
+The reference's OpenMP frame loop (psp_process.cpp:1743-1851 — studied, not
+copied) becomes ONE jitted function per frame stack: hot-pixel repair -> ECC
+alignment to the first frame -> fiducial patching (batched MXU matmul) ->
+Gaussian/box filter -> gather-projection -> multi-camera weighted sum ->
+NaN-fill skipped nodes -> overlap adjustment.  ``jax.lax.map`` over the frame
+axis keeps compile size constant; the frame axis shards across the device mesh
+(see upsp_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from upsp_tpu.ops.image import apply_filter, fix_hot_pixels
+from upsp_tpu.ops.patching import PatchOperator, apply_patches
+from upsp_tpu.ops.projection import NodeProjection, project_frame
+from upsp_tpu.ops.registration import ecc_affine, warp_affine
+from upsp_tpu.pipeline.phase0 import Phase0State
+
+
+class Phase1Params(NamedTuple):
+    """Static-shape pytree consumed by the jitted per-frame program."""
+
+    projections: Tuple[NodeProjection, ...]  # per camera
+    skipped: jax.Array  # (N,) bool
+    patch_ops: Tuple[Optional[PatchOperator], ...]
+    ref_frames: jax.Array  # (C, H, W) float32
+    superseded_by: jax.Array  # (N,) int32
+
+
+def phase1_params(state: Phase0State) -> Phase1Params:
+    return Phase1Params(
+        projections=tuple(state.projections),
+        skipped=state.skipped,
+        patch_ops=tuple(state.patch_ops),
+        ref_frames=state.ref_frames,
+        superseded_by=state.superseded_by,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("registration", "patch", "filter_type", "filter_size",
+                     "interpolation", "adjust_overlap"),
+)
+def process_frame(
+    frames: jax.Array,  # (C, H, W) raw camera frames (uint16 or float)
+    params: Phase1Params,
+    registration: str = "pixel",
+    patch: bool = True,
+    filter_type: str = "gaussian",
+    filter_size: int = 3,
+    interpolation: str = "linear",
+    adjust_overlap: bool = True,
+) -> jax.Array:
+    """One multi-camera frame -> per-node intensity (N,)."""
+    n_cams = frames.shape[0]
+    sol = None
+    for c in range(n_cams):
+        img = fix_hot_pixels(frames[c])
+        img = img.astype(jnp.float32)
+        if registration == "pixel":
+            warp, _ = ecc_affine(params.ref_frames[c], img)
+            img = warp_affine(img, warp, interpolation=interpolation)
+        if patch and params.patch_ops[c] is not None:
+            img = apply_patches(img, params.patch_ops[c])
+        img = apply_filter(img, filter_type, filter_size)
+        c_sol = project_frame(img, params.projections[c])
+        sol = c_sol if sol is None else sol + c_sol
+    sol = jnp.where(params.skipped, jnp.nan, sol)
+    if adjust_overlap:
+        sol = sol[params.superseded_by]
+    return sol
+
+
+def make_frame_processor(state: Phase0State):
+    """Bind the phase-0 state + config into a frames->(N,) callable."""
+    p = phase1_params(state)
+    cfg = state.config
+
+    def fn(frames: jax.Array) -> jax.Array:
+        return process_frame(
+            frames,
+            p,
+            registration=cfg.registration,
+            patch=(cfg.target_patcher == "polynomial"),
+            filter_type=cfg.filter,
+            filter_size=cfg.filter_size,
+            interpolation=cfg.pixel_interpolation,
+        )
+
+    return fn
+
+
+def process_frames(
+    state: Phase0State, frames: jax.Array, batched: bool = True
+) -> jax.Array:
+    """(F, C, H, W) frame stack -> (F, N) intensities.
+
+    ``lax.map`` serializes over frames inside one XLA program — per-frame
+    intermediates (C full images + gradients) never exist for more than one
+    frame at a time, which keeps HBM residency flat for long sequences.
+    """
+    fn = make_frame_processor(state)
+    if not batched:
+        return jnp.stack([fn(frames[i]) for i in range(frames.shape[0])])
+    return jax.lax.map(fn, frames)
+
+
+class Phase1Outputs(NamedTuple):
+    intensity: jax.Array  # (F, N) — overlap-adjusted per-frame solutions
+    sol_avg: jax.Array  # (N,) mean over frames (NaN where skipped)
+    sol_rms: jax.Array  # (N,) root-mean-square over frames
+    coverage: jax.Array  # (N,)
+
+
+def phase1_statistics(intensity: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Frame-axis avg and rms (float32 accumulation in f64 like the reference).
+
+    The reference accumulates partial sums in double to tame round-off
+    (psp_process.cpp:1722-1730); on TPU we pairwise-sum in f32 which has
+    comparable error for these lengths, and tests pin the tolerance.
+    """
+    avg = jnp.mean(intensity, axis=0)
+    rms = jnp.sqrt(jnp.mean(intensity * intensity, axis=0))
+    return avg, rms
