@@ -19,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# x64 on for all tests: calibration math wants f64; device-path modules pin
+# their own f32 dtypes explicitly, which this also verifies.
+jax.config.update("jax_enable_x64", True)
 
 import pathlib
 

@@ -29,20 +29,25 @@ def fix_hot_pixels(
     against the *original* frame rather than sequentially.
     """
     x = img.astype(jnp.float32)
-    big = jnp.asarray(jnp.inf, jnp.float32)
+    big = jnp.asarray(3.0e38, jnp.float32)  # sentinel for missing neighbors
 
     up = jnp.concatenate([jnp.full_like(x[:1], big), x[:-1]], axis=0)
     down = jnp.concatenate([x[1:], jnp.full_like(x[:1], big)], axis=0)
     left = jnp.concatenate([jnp.full_like(x[:, :1], big), x[:, :-1]], axis=1)
     right = jnp.concatenate([x[:, 1:], jnp.full_like(x[:, :1], big)], axis=1)
 
-    neigh = jnp.stack([up, down, left, right], axis=0)  # (4, H, W)
-    valid = jnp.isfinite(neigh)
-    n_valid = valid.sum(axis=0)  # 2..4
-    sorted_n = jnp.sort(neigh, axis=0)  # invalid (inf) sink to the end
-    # median index n_valid // 2 over the valid ascending prefix
-    idx = (n_valid // 2).astype(jnp.int32)
-    median = jnp.take_along_axis(sorted_n, idx[None, ...], axis=0)[0]
+    # branch-free 4-element sorting network (sentinels sink to the top), then
+    # median index n_valid//2: 3rd-smallest when all 4 neighbors exist,
+    # 2nd-smallest for edge (3) and corner (2) pixels
+    n_valid = 4 - ((up >= big).astype(jnp.int32) + (down >= big) + (left >= big)
+                   + (right >= big))
+    lo1, hi1 = jnp.minimum(up, down), jnp.maximum(up, down)
+    lo2, hi2 = jnp.minimum(left, right), jnp.maximum(left, right)
+    mid_lo = jnp.maximum(lo1, lo2)  # 2nd or 3rd smallest
+    mid_hi = jnp.minimum(hi1, hi2)  # the other of the middle pair
+    s2 = jnp.minimum(mid_lo, mid_hi)  # 2nd smallest
+    s3 = jnp.maximum(mid_lo, mid_hi)  # 3rd smallest
+    median = jnp.where(n_valid == 4, s3, s2)
 
     hot = img >= thresh
     n_hot = hot.sum()

@@ -80,6 +80,8 @@ def bvh_intersect(bvh: BVHArrays, origins, directions, max_leaf: int = 4):
     """
     M = bvh.bbox_min.shape[0]
     inf = jnp.asarray(jnp.inf, bvh.tri_v0.dtype)
+    origins = jnp.asarray(origins, bvh.tri_v0.dtype)
+    directions = jnp.asarray(directions, bvh.tri_v0.dtype)
 
     def one_ray(origin, direction):
         inv_dir = jnp.where(

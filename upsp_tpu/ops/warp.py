@@ -1,0 +1,137 @@
+"""MXU-native affine image warping: separable matmul resampling.
+
+TPU gathers are slow (a 1 MP bilinear gather warp measures ~45 ms on v5e);
+matmuls are what the hardware is built for.  A bilinear 1-D resample is a
+sparse tent-function matrix, and a *separable* affine (scale + translation) is
+exactly two such matmuls:
+
+    out = R @ img @ C.T          R (H,H), C (W,W), 2 nonzeros per row
+
+with R[i,j] = max(0, 1 - |y_src(i) - j|) — which reproduces bilinear
+interpolation *and* cv2's BORDER_CONSTANT zero-border semantics exactly.
+
+General affines add shear terms.  uPSP registration warps are near-identity
+(|off-diagonal| ~ 1e-3, sub-pixel shear displacement across the frame), so the
+shear residual is applied as a 2nd-order Taylor correction using central
+differences of the separably-warped image.  Exact for pure scale+translation;
+O(d^3) error in the shear displacement d (sub-pixel here).
+
+This replaces the per-iteration gather warps inside ECC registration
+(cv::findTransformECC's warpAffine calls — registration.cpp:63-80) and the
+final frame warp.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _tent_matrix(n_out: int, n_src: int, positions: jax.Array) -> jax.Array:
+    """(n_out, n_src) bilinear sampling matrix: row i samples src at positions[i]."""
+    j = jnp.arange(n_src, dtype=positions.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(positions[:, None] - j[None, :]))
+
+
+@functools.partial(jax.jit, static_argnames=("order",))
+def warp_affine_mxu(
+    img: jax.Array, warp: jax.Array, order: int = 2
+) -> jax.Array:
+    """out(y, x) = img(W @ [x, y, 1]) via separable matmuls + shear Taylor.
+
+    ``order``: 0 = separable part only (ignore shear), 1/2 = Taylor order for
+    the shear residual.  Matches gather-bilinear to O(shear_disp^(order+1)).
+    """
+    H, W = img.shape
+    dtype = jnp.float32
+    img = img.astype(dtype)
+    a00, a01, tx = warp[0, 0], warp[0, 1], warp[0, 2]
+    a10, a11, ty = warp[1, 0], warp[1, 1], warp[1, 2]
+
+    ys = jnp.arange(H, dtype=dtype)
+    xs = jnp.arange(W, dtype=dtype)
+    cy = (H - 1) * 0.5
+    cx = (W - 1) * 0.5
+
+    # separable sample positions (residual shear centered at the image middle)
+    y_sep = a11 * ys + ty + a10 * cx
+    x_sep = a00 * xs + tx + a01 * cy
+    R = _tent_matrix(H, H, y_sep)
+    C = _tent_matrix(W, W, x_sep)
+    sep = R @ img @ C.T
+
+    if order == 0:
+        return sep
+
+    # shear residual displacement in source coords:
+    #   dy(x) = a10 * (x - cx)   (same for every row)
+    #   dx(y) = a01 * (y - cy)
+    dy = (a10 * (xs - cx))[None, :]  # (1, W)
+    dx = (a01 * (ys - cy))[:, None]  # (H, 1)
+
+    # derivatives of img at the separable sample points, from central
+    # differences of `sep` (chain rule: d sep/d x_out = a00 * img_x)
+    inv_ax = 1.0 / a00
+    inv_ay = 1.0 / a11
+    gx = jnp.zeros_like(sep)
+    gx = gx.at[:, 1:-1].set(0.5 * (sep[:, 2:] - sep[:, :-2]) * inv_ax)
+    gy = jnp.zeros_like(sep)
+    gy = gy.at[1:-1, :].set(0.5 * (sep[2:, :] - sep[:-2, :]) * inv_ay)
+
+    out = sep + dx * gx + dy * gy
+    if order >= 2:
+        gxx = jnp.zeros_like(sep)
+        gxx = gxx.at[:, 1:-1].set(
+            (sep[:, 2:] - 2 * sep[:, 1:-1] + sep[:, :-2]) * inv_ax * inv_ax
+        )
+        gyy = jnp.zeros_like(sep)
+        gyy = gyy.at[1:-1, :].set(
+            (sep[2:, :] - 2 * sep[1:-1, :] + sep[:-2, :]) * inv_ay * inv_ay
+        )
+        gxy = jnp.zeros_like(sep)
+        gxy = gxy.at[1:-1, 1:-1].set(
+            0.25
+            * (
+                sep[2:, 2:] - sep[2:, :-2] - sep[:-2, 2:] + sep[:-2, :-2]
+            )
+            * inv_ax
+            * inv_ay
+        )
+        out = out + 0.5 * dx * dx * gxx + dx * dy * gxy + 0.5 * dy * dy * gyy
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("shape_hw",))
+def warp_validity_mask(
+    shape_hw: Tuple[int, int], warp: jax.Array
+) -> jax.Array:
+    """(H, W) float mask: 1 where the separable sample is fully in-bounds."""
+    H, W = shape_hw
+    dtype = jnp.float32
+    ys = jnp.arange(H, dtype=dtype)
+    xs = jnp.arange(W, dtype=dtype)
+    cy = (H - 1) * 0.5
+    cx = (W - 1) * 0.5
+    y_sep = warp[1, 1] * ys + warp[1, 2] + warp[1, 0] * cx
+    x_sep = warp[0, 0] * xs + warp[0, 2] + warp[0, 1] * cy
+    my = ((y_sep >= 0.0) & (y_sep <= H - 1.0)).astype(dtype)
+    mx = ((x_sep >= 0.0) & (x_sep <= W - 1.0)).astype(dtype)
+    return my[:, None] * mx[None, :]
+
+
+def downsample2(img: jax.Array) -> jax.Array:
+    """2x box downsample (pyramid level construction)."""
+    H, W = img.shape
+    h2, w2 = H // 2, W // 2
+    x = img[: h2 * 2, : w2 * 2]
+    return 0.25 * (
+        x[0::2, 0::2] + x[0::2, 1::2] + x[1::2, 0::2] + x[1::2, 1::2]
+    )
+
+
+def scale_warp(warp: jax.Array, factor: float) -> jax.Array:
+    """Rescale a warp between pyramid levels (translation scales, A doesn't)."""
+    return warp.at[:, 2].multiply(factor)

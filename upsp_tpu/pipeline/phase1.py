@@ -21,6 +21,7 @@ from upsp_tpu.ops.image import apply_filter, fix_hot_pixels
 from upsp_tpu.ops.patching import PatchOperator, apply_patches
 from upsp_tpu.ops.projection import NodeProjection, project_frame
 from upsp_tpu.ops.registration import ecc_affine, warp_affine
+from upsp_tpu.ops.warp import warp_affine_mxu
 from upsp_tpu.pipeline.phase0 import Phase0State
 
 
@@ -67,7 +68,10 @@ def process_frame(
         img = img.astype(jnp.float32)
         if registration == "pixel":
             warp, _ = ecc_affine(params.ref_frames[c], img)
-            img = warp_affine(img, warp, interpolation=interpolation)
+            if interpolation == "nearest":
+                img = warp_affine(img, warp, interpolation="nearest")
+            else:
+                img = warp_affine_mxu(img, warp)
         if patch and params.patch_ops[c] is not None:
             img = apply_patches(img, params.patch_ops[c])
         img = apply_filter(img, filter_type, filter_size)
