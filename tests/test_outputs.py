@@ -1,0 +1,187 @@
+"""Flat-file / HDF5 output tests + a full run_datapoint integration pass."""
+
+import json
+
+import numpy as np
+import pytest
+
+from upsp_tpu.io.flatfile import (
+    FlatFileSet,
+    read_flat,
+    read_node_history,
+    read_vv,
+    vv_subsample,
+    write_flat,
+    write_vv,
+)
+
+
+class TestFlatFiles:
+    def test_roundtrip(self, tmp_path, rng):
+        data = rng.normal(size=256).astype(np.float32)
+        p = str(tmp_path / "avg")
+        write_flat(p, data)
+        np.testing.assert_array_equal(read_flat(p), data)
+
+    def test_offset_write(self, tmp_path):
+        p = str(tmp_path / "blk")
+        write_flat(p, np.zeros(16, np.float32))
+        write_flat(p, np.ones(4, np.float32), offset_values=8)
+        out = read_flat(p)
+        assert out[:8].sum() == 0 and (out[8:12] == 1).all()
+
+    def test_node_history(self, tmp_path, rng):
+        n_nodes, n_frames = 6, 32
+        data = rng.normal(size=(n_nodes, n_frames)).astype(np.float32)
+        p = str(tmp_path / "pressure_transpose")
+        write_flat(p, data)
+        np.testing.assert_array_equal(
+            read_node_history(p, 3, n_frames), data[3]
+        )
+
+    def test_vv_subsample(self):
+        v = np.arange(5000, dtype=np.float32)
+        out = vv_subsample(v)
+        assert out.size == 1000
+        assert out[0] == 0 and out[1] == 5  # stride = 5000 // 1000
+
+    def test_vv_small_input(self, tmp_path):
+        v = np.arange(10, dtype=np.float32)
+        p = str(tmp_path / "vv.dat")
+        write_vv(p, v)
+        np.testing.assert_array_equal(read_vv(p), v)
+
+
+class TestHDF5:
+    def test_writer_roundtrip(self, tmp_path, rng):
+        h5py = pytest.importorskip("h5py")
+        from upsp_tpu.io.hdf5io import (
+            PSPWriter,
+            hdf5_is_structured,
+            hdf5_is_transposed,
+            hdf5_num_frames,
+            hdf5_num_nodes,
+            hdf5_read_dataset,
+            hdf5_read_node_history,
+        )
+        from upsp_tpu.io.wtd import TunnelConditions
+        from upsp_tpu.pipeline.synthetic import make_plate_grid
+        from upsp_tpu.geometry.grids import from_struct_grid
+
+        model = from_struct_grid(make_plate_grid(8, 6))
+        n, f = model.size, 16
+        frames = rng.normal(size=(n, f)).astype(np.float32)
+        cond = TunnelConditions(mach=0.85, qbar=144.0, ps=500.0, ttot=80.0,
+                                alpha=1.0, beta=0.1, phi=0.0)
+        cond.test_id = "t11"
+        cond.run = 3
+        path = str(tmp_path / "out.h5")
+        with PSPWriter(path, model, n_frames=f, transposed=True) as w:
+            w.write_grid("in")
+            w.write_tunnel_conditions(cond)
+            w.write_camera_settings(framerate=10000, fstop=2.8, exposure=30.0,
+                                    focal_lengths=[900.0])
+            w.write_frames_block(frames)
+            w.write_new_dataset("rms", frames.std(axis=1), "delta Cp")
+            w.write_string_attribute("code_version", "upsp_tpu-0.1")
+
+        assert hdf5_num_frames(path) == f
+        assert hdf5_num_nodes(path) == n
+        assert hdf5_is_transposed(path)
+        assert hdf5_is_structured(path)
+        np.testing.assert_allclose(hdf5_read_node_history(path, 5), frames[5])
+        np.testing.assert_allclose(
+            hdf5_read_dataset(path, "Condition/mach"), 0.85
+        )
+
+
+class TestRunDatapoint:
+    def test_full_run_synthetic(self, tmp_path, rng):
+        """Integration: config-driven run with a frames array, all outputs."""
+        from upsp_tpu.io.plot3d import write_p3d_grid
+        from upsp_tpu.pipeline.config import CameraInputs, ProcessingConfig
+        from upsp_tpu.pipeline.run import run_datapoint
+        from upsp_tpu.pipeline.synthetic import make_plate_grid
+
+        grid = make_plate_grid(21, 17)
+        grid_path = str(tmp_path / "plate.grid")
+        write_p3d_grid(grid_path, grid)
+        cam_path = str(tmp_path / "cam.json")
+        with open(cam_path, "w") as fh:
+            json.dump(
+                {
+                    "uPSP_cameraMatrix": [[200.0, 0, 0], [0, 200.0, 0], [0, 0, 1]],
+                    "distCoeffs": [[0, 0, 0, 0, 0]],
+                    "rmat": [[1, 0, 0], [0, -1, 0], [0, 0, -1]],
+                    "tvec": [-5.0, 4.0, 20.0],
+                },
+                fh,
+            )
+        wtd_path = str(tmp_path / "t.wtd")
+        with open(wtd_path, "w") as fh:
+            fh.write("RUN 1 1\n#\tMACH\tALPHA\tBETA\tPHI\tQ\tPS\tTTF\tSTRUTZ\n")
+            fh.write("0.80\t0.00\t0.00\t0.00\t144.00\t500.00\t80.00\t0.00\n")
+        paint_path = str(tmp_path / "paint.cal")
+        with open(paint_path, "w") as fh:
+            fh.write("a = 1.0\nb = 0.0\nc = 0\nd = 0\ne = 0\nf = 0\n")
+
+        cfg = ProcessingConfig(
+            test_id="synth",
+            run=1,
+            sequence=1,
+            cameras=[CameraInputs(number=1, calibration=cam_path)],
+            grid=grid_path,
+            sds=wtd_path,
+            paint_cal=paint_path,
+            registration="none",
+            target_patcher="none",
+            out_dir=str(tmp_path / "out"),
+        )
+        H, W, F = 96, 128, 12
+        yy, xx = np.mgrid[0:H, 0:W]
+        base = (2000 + 5.0 * xx + 3.0 * yy).astype(np.float32)
+        frames = np.stack(
+            [base[None] * (1 + 0.01 * np.sin(2 * np.pi * f / 7)) for f in range(F)]
+        )
+        out = run_datapoint(cfg, frames_array=frames)
+        assert out.n_frames == F
+        assert out.phase2 is not None
+        vis = np.array(out.state.projections[0].visible)
+        assert vis.sum() > 200
+        dcp = np.asarray(out.phase2.pressure_transpose)
+        assert np.isfinite(dcp[vis]).all()
+        # files on disk
+        assert (tmp_path / "out" / "pressure_transpose").exists()
+        assert (tmp_path / "out" / "X").exists()
+        assert (tmp_path / "out" / "vv-cp-rms.dat").exists()
+        assert (tmp_path / "out" / "output.h5").exists()
+
+    def test_checkout_mode(self, tmp_path, rng):
+        from upsp_tpu.io.plot3d import write_p3d_grid
+        from upsp_tpu.pipeline.config import CameraInputs, ProcessingConfig
+        from upsp_tpu.pipeline.run import run_datapoint
+        from upsp_tpu.pipeline.synthetic import make_plate_grid
+
+        grid_path = str(tmp_path / "g.grid")
+        write_p3d_grid(grid_path, make_plate_grid(11, 9))
+        cam_path = str(tmp_path / "cam.json")
+        with open(cam_path, "w") as fh:
+            json.dump(
+                {
+                    "uPSP_cameraMatrix": [[200.0, 0, 0], [0, 200.0, 0], [0, 0, 1]],
+                    "distCoeffs": [[0, 0, 0, 0, 0]],
+                    "rmat": [[1, 0, 0], [0, -1, 0], [0, 0, -1]],
+                    "tvec": [-5.0, 4.0, 20.0],
+                },
+                fh,
+            )
+        cfg = ProcessingConfig(
+            cameras=[CameraInputs(number=1, calibration=cam_path)],
+            grid=grid_path,
+            registration="none",
+            target_patcher="none",
+        )
+        frames = np.full((3, 1, 64, 96), 2000, np.float32)
+        out = run_datapoint(cfg, checkout=True, frames_array=frames)
+        assert out.intensity is None
+        assert out.state.n_nodes == 99

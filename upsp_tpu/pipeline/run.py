@@ -1,0 +1,210 @@
+"""End-to-end datapoint processing: the ``psp_process`` equivalent.
+
+Orchestrates: video open -> phase 0 (setup) -> phase 1 (fused per-frame
+register/patch/filter/project, streamed in chunks with background decode) ->
+statistics/coverage -> frames->nodes transpose -> phase 2 (delta-Cp) ->
+flat files + HDF5 + vv regression dumps.
+
+Call stack parity: psp_process.cpp main/RunAllPhases (:1330-1435 — studied,
+not copied).  ``checkout=True`` runs phase 0 only, like the reference's cheap
+input-validation mode (psp_process.cpp:1207).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upsp_tpu.io.flatfile import FlatFileSet
+from upsp_tpu.io.paint import PaintCalibration
+from upsp_tpu.io.video import FramePrefetcher, video_reader
+from upsp_tpu.io.wtd import TunnelConditions, read_wtd
+from upsp_tpu.ops.projection import coverage as proj_coverage
+from upsp_tpu.pipeline.config import ProcessingConfig
+from upsp_tpu.pipeline.phase0 import Phase0State, run_phase0
+from upsp_tpu.pipeline.phase1 import make_frame_processor
+from upsp_tpu.pipeline.phase2 import Phase2Outputs, run_phase2
+
+log = logging.getLogger("upsp_tpu")
+
+
+@dataclasses.dataclass
+class DatapointOutputs:
+    state: Phase0State
+    intensity: Optional[np.ndarray]  # (F, N)
+    intensity_avg: Optional[np.ndarray]
+    intensity_rms: Optional[np.ndarray]
+    coverage: Optional[np.ndarray]
+    phase2: Optional[Phase2Outputs]
+    n_frames: int
+
+
+def open_videos(cfg: ProcessingConfig):
+    readers = []
+    for cam in cfg.cameras:
+        r = video_reader(cam.video)
+        r.open()
+        readers.append(r)
+    n_frames = min(r.frame_count for r in readers)
+    if cfg.frames > 0:
+        n_frames = min(n_frames, cfg.frames)
+    return readers, n_frames
+
+
+def run_datapoint(
+    cfg: ProcessingConfig,
+    checkout: bool = False,
+    frames_per_chunk: int = 64,
+    frames_array: Optional[np.ndarray] = None,
+    write_outputs: bool = True,
+) -> DatapointOutputs:
+    """Process one datapoint end to end.
+
+    ``frames_array`` (F, C, H, W) bypasses video files (tests/benchmarks).
+    """
+    # ---- open video, grab first frames -------------------------------------
+    if frames_array is not None:
+        n_frames = frames_array.shape[0]
+        first_frames = [frames_array[0, c] for c in range(frames_array.shape[1])]
+        bit_depths = [12] * len(first_frames)
+        readers = None
+    else:
+        readers, n_frames = open_videos(cfg)
+        first_frames = [r.read_frame(0) for r in readers]
+        bit_depths = [r.bit_depth for r in readers]
+
+    # ---- phase 0 ------------------------------------------------------------
+    state = run_phase0(cfg, first_frames, bit_depths)
+    if checkout:
+        if readers:
+            for r in readers:
+                r.close()
+        return DatapointOutputs(state, None, None, None, None, None, n_frames)
+
+    # ---- phase 1: stream frame chunks through the fused program ------------
+    fn = make_frame_processor(state)
+    n_nodes = state.model.size
+    intensity = np.empty((n_frames, n_nodes), np.float32)
+
+    def chunks():
+        if frames_array is not None:
+            for s in range(0, n_frames, frames_per_chunk):
+                yield s, frames_array[s : s + frames_per_chunk]
+        else:
+            prefetchers = [
+                iter(FramePrefetcher(r, n_frames, frames_per_chunk=frames_per_chunk))
+                for r in readers
+            ]
+            s = 0
+            while s < n_frames:
+                per_cam = [next(p) for p in prefetchers]
+                stack = np.stack(per_cam, axis=1)  # (chunk, C, H, W)
+                yield s, stack
+                s += stack.shape[0]
+
+    for start, chunk in chunks():
+        batch = jnp.asarray(chunk)
+        out = jax.lax.map(fn, batch)
+        intensity[start : start + chunk.shape[0]] = np.asarray(out)
+        if start % (frames_per_chunk * 8) == 0:
+            log.info("phase1: processed frame %d / %d", start, n_frames)
+
+    if readers:
+        for r in readers:
+            r.close()
+
+    with np.errstate(invalid="ignore"):
+        sol_avg = intensity.mean(axis=0)
+        sol_rms = np.sqrt((intensity.astype(np.float64) ** 2).mean(axis=0)).astype(
+            np.float32
+        )
+    cov = np.asarray(proj_coverage(state.projections, *state.image_hw))
+    # frame-1 Iref/I sample (intensity_ratio_0, psp_process.cpp:1936-1943)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio0 = sol_avg / intensity[0] - 1.0
+
+    # ---- phase 2 ------------------------------------------------------------
+    phase2 = None
+    if cfg.sds and cfg.paint_cal:
+        cond = read_wtd(cfg.sds)
+        cond.test_id = cfg.test_id
+        cond.run = cfg.run
+        cond.seq = cfg.sequence
+        pcal = PaintCalibration.read(cfg.paint_cal)
+        phase2 = run_phase2(
+            cfg,
+            jnp.asarray(intensity.T),  # (N, F) node-major
+            jnp.asarray(sol_avg),
+            jnp.asarray(cov),
+            cond,
+            pcal,
+            model=state.model,
+        )
+
+    # ---- outputs ------------------------------------------------------------
+    if write_outputs and cfg.out_dir:
+        _write_outputs(cfg, state, intensity, sol_avg, sol_rms, ratio0, cov, phase2)
+
+    return DatapointOutputs(
+        state=state,
+        intensity=intensity,
+        intensity_avg=sol_avg,
+        intensity_rms=sol_rms,
+        coverage=cov,
+        phase2=phase2,
+        n_frames=n_frames,
+    )
+
+
+def _write_outputs(cfg, state, intensity, sol_avg, sol_rms, ratio0, cov, phase2):
+    ffs = FlatFileSet(cfg.out_dir)
+    p1 = {
+        "intensity": intensity,
+        "intensity_avg": sol_avg,
+        "intensity_rms": sol_rms,
+        "intensity_ratio_0": ratio0,
+        "coverage": cov,
+    }
+    p2 = None
+    if phase2 is not None:
+        p2 = {
+            "pressure_transpose": np.asarray(phase2.pressure_transpose),
+            "avg": np.asarray(phase2.avg),
+            "rms": np.asarray(phase2.rms),
+            "gain": np.asarray(phase2.gain),
+        }
+    ffs.write_standard_outputs(state.model, p1, p2)
+
+    if phase2 is not None:
+        try:
+            from upsp_tpu.io.hdf5io import PSPWriter
+
+            cond = read_wtd(cfg.sds)
+            cond.test_id = cfg.test_id
+            cond.run = cfg.run
+            cond.seq = cfg.sequence
+            name = cfg.out_name or "output"
+            with PSPWriter(
+                os.path.join(cfg.out_dir, f"{name}.h5"),
+                state.model,
+                n_frames=intensity.shape[0],
+                transposed=True,
+            ) as w:
+                w.write_grid(cfg.grid_units)
+                w.write_tunnel_conditions(cond)
+                w.write_camera_settings(
+                    focal_lengths=[float(p.fx) for p in state.cam_params],
+                    cam_nums=[c.number for c in cfg.cameras],
+                )
+                w.write_frames_block(np.asarray(phase2.pressure_transpose))
+                w.write_new_dataset("rms", np.asarray(phase2.rms), "delta Cp")
+                w.write_new_dataset("average", np.asarray(phase2.avg), "delta Cp")
+                w.write_new_dataset("coverage", cov)
+        except ImportError:
+            log.warning("h5py unavailable; skipped HDF5 output")
