@@ -1,0 +1,135 @@
+"""Batch tree generation + context + CLI smoke tests."""
+
+import json
+import os
+import stat
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from upsp_tpu.processing.context import Pipeline
+from upsp_tpu.processing.tree import create, resolve_parameter_overlays
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture
+def configs(tmp_path):
+    data = {
+        "datapoints": {
+            "3000101": {"run": 30001, "sequence": 1, "grid": "/g/a.grid",
+                        "camera_videos": ["/v/300010101.mraw"],
+                        "camera_calibrations": ["/c/cam01.json"],
+                        "targets": "/t/a.tgts", "sds": "/w/a.wtd"},
+            "3000201": {"run": 30002, "sequence": 1, "grid": "/g/b_fine.grid",
+                        "camera_videos": ["/v/300020101.mraw"]},
+        }
+    }
+    user = {"nas": {"qsub_args": {"q": "normal"}}}
+    proc = {
+        "processing": {
+            "psp_process": {
+                "filter": "gaussian",
+                "filter_size": 3,
+                "oblique_angle": 70,
+                "__overlays__": [
+                    {"__regex__": {"grid": "fine"}, "filter_size": 5}
+                ],
+            }
+        }
+    }
+    paths = {}
+    for name, cfg in (("data", data), ("user", user), ("proc", proc)):
+        p = tmp_path / f"{name}.json"
+        p.write_text(json.dumps(cfg))
+        paths[name] = str(p)
+    return paths, tmp_path
+
+
+class TestOverlays:
+    def test_regex_overlay_applies(self, configs):
+        paths, tmp = configs
+        data = json.loads(open(paths["data"]).read())
+        proc = json.loads(open(paths["proc"]).read())
+        out = resolve_parameter_overlays(proc["processing"], data["datapoints"])
+        assert out["3000101"]["psp_process"]["filter_size"] == 3
+        assert out["3000201"]["psp_process"]["filter_size"] == 5  # fine grid
+
+    def test_name_regex(self):
+        proc = {"step": {"a": 1, "__overlays__": [
+            {"__regex__": {"name": "^30002"}, "a": 2}]}}
+        dps = {"3000101": {}, "3000201": {}}
+        out = resolve_parameter_overlays(proc, dps)
+        assert out["3000101"]["step"]["a"] == 1
+        assert out["3000201"]["step"]["a"] == 2
+
+
+class TestTree:
+    def test_create_and_context(self, configs):
+        paths, tmp = configs
+        root = create(str(tmp / "tree"), paths["data"], paths["user"], paths["proc"])
+        assert os.path.exists(os.path.join(root, "context.json"))
+        assert os.path.exists(os.path.join(root, "03_launchers", "step+psp_process"))
+        deck = os.path.join(root, "04_processing", "psp_process", "3000101",
+                            "input_deck.inp")
+        assert os.path.exists(deck)
+        text = open(deck).read()
+        assert "@camera" in text and "300010101.mraw" in text
+        # launcher is executable
+        st = os.stat(os.path.join(root, "03_launchers", "step+psp_process"))
+        assert st.st_mode & stat.S_IXUSR
+
+        pipe = Pipeline(root)
+        assert len(pipe.datapoints) == 2
+        dp = pipe.datapoint("3000101")
+        assert dp.inputs["run"] == 30001
+        assert dp.processing["psp_process"]["filter_size"] == 3
+        assert dp.input_deck_path() == deck
+
+
+class TestCLIs:
+    def _run(self, script, *args):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", script), *args],
+            capture_output=True, text=True, env=env, timeout=120,
+        )
+
+    def test_xyz_scalar_to_tbl(self, tmp_path):
+        for name, vals in (("X", [1, 2]), ("Y", [3, 4]), ("Z", [5, 6]),
+                           ("s", [7, 8])):
+            np.array(vals, "<f4").tofile(tmp_path / name)
+        out = tmp_path / "out.tbl"
+        r = self._run(
+            "upsp-xyz-scalar-to-tbl",
+            "--x", str(tmp_path / "X"), "--y", str(tmp_path / "Y"),
+            "--z", str(tmp_path / "Z"), "--scalar", str(tmp_path / "s"),
+            "--out", str(out),
+        )
+        assert r.returncode == 0, r.stderr
+        text = out.read_text()
+        assert "ZONE I=2" in text and "1 3 5 7" in text
+
+    def test_matrix_transpose(self, tmp_path, rng):
+        rows, cols = 10, 7
+        data = rng.normal(size=(rows, cols)).astype("<f4")
+        src = tmp_path / "pressure"
+        data.tofile(src)
+        dst = tmp_path / "pressure_transpose"
+        r = self._run("upsp-matrix-transpose", str(src), str(dst),
+                      "--rows", str(rows), "--cols", str(cols), "--block", "4")
+        assert r.returncode == 0, r.stderr
+        out = np.fromfile(dst, "<f4").reshape(cols, rows)
+        np.testing.assert_array_equal(out, data.T)
+
+    def test_extract_frames(self, tmp_path):
+        mraw = "/root/reference/cpp/test/mraw/12bitMRAW.mraw"
+        if not os.path.exists(mraw):
+            pytest.skip("no mraw fixture")
+        out = tmp_path / "f.%03d.png"
+        r = self._run("upsp-extract-frames", "-input", mraw,
+                      "-output", str(out), "-count", "2")
+        assert r.returncode == 0, r.stderr
+        assert (tmp_path / "f.000.png").exists()
