@@ -1,0 +1,108 @@
+"""Native library tests (skipped gracefully when the .so isn't built)."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from upsp_tpu import native
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if not native.available():
+        rc = subprocess.run(["make", "-C", os.path.join(REPO, "cpp")]).returncode
+        if rc != 0 or not native.available():
+            pytest.skip("native library unavailable and could not be built")
+
+
+class TestUnpack:
+    def test_12bpp_matches_numpy(self, rng):
+        from upsp_tpu.io.video.util import pack_12bpp, unpack_12bpp
+
+        pix = rng.integers(0, 4096, 4096).astype(np.uint16)
+        buf = pack_12bpp(pix).tobytes()
+        np.testing.assert_array_equal(native.unpack_12bpp(buf), unpack_12bpp(buf))
+
+    def test_10bpp_matches_numpy(self, rng):
+        from upsp_tpu.io.video.util import pack_10bpp, unpack_10bpp
+
+        pix = rng.integers(0, 1024, 4096).astype(np.uint16)
+        buf = pack_10bpp(pix).tobytes()
+        np.testing.assert_array_equal(native.unpack_10bpp(buf), unpack_10bpp(buf))
+
+
+class TestNativeBVH:
+    def test_matches_python_traversal(self, rng):
+        import jax.numpy as jnp
+
+        from upsp_tpu.ops.raycast import (
+            brute_force_intersect,
+            bvh_intersect,
+            bvh_to_device,
+        )
+
+        verts = rng.normal(size=(80, 3)).astype(np.float32)
+        tris = rng.integers(0, 80, size=(120, 3)).astype(np.int32)
+        ok = (
+            (tris[:, 0] != tris[:, 1])
+            & (tris[:, 1] != tris[:, 2])
+            & (tris[:, 0] != tris[:, 2])
+        )
+        tris = tris[ok]
+        flat = native.build_bvh(verts, tris, leaf_size=4)
+        assert sorted(flat.tri_id.tolist()) == sorted(range(tris.shape[0]))
+        bvh = bvh_to_device(flat)
+        origins = rng.normal(size=(200, 3)).astype(np.float32) * 3
+        dirs = rng.normal(size=(200, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        t_b, _, hit_b = bvh_intersect(bvh, jnp.asarray(origins), jnp.asarray(dirs),
+                                      max_leaf=flat.max_leaf_count)
+        v0 = jnp.asarray(verts[tris[:, 0]])
+        e1 = jnp.asarray(verts[tris[:, 1]] - verts[tris[:, 0]])
+        e2 = jnp.asarray(verts[tris[:, 2]] - verts[tris[:, 0]])
+        t_o, _, hit_o = brute_force_intersect(v0, e1, e2, jnp.asarray(origins),
+                                              jnp.asarray(dirs))
+        np.testing.assert_array_equal(np.array(hit_b), np.array(hit_o))
+        np.testing.assert_allclose(
+            np.array(t_b)[np.array(hit_b)], np.array(t_o)[np.array(hit_o)],
+            rtol=2e-5,
+        )
+
+
+class TestTranspose:
+    def test_native_transpose(self, tmp_path, rng):
+        rows, cols = 37, 23
+        data = rng.normal(size=(rows, cols)).astype("<f4")
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        data.tofile(src)
+        native.transpose_f32(src, dst, rows, cols, block=8)
+        out = np.fromfile(dst, "<f4").reshape(cols, rows)
+        np.testing.assert_array_equal(out, data.T)
+
+
+class TestAsyncWriter:
+    def test_ordered_writes(self, tmp_path, rng):
+        path = str(tmp_path / "out.bin")
+        blocks = [rng.normal(size=64).astype("<f4") for _ in range(8)]
+        with native.AsyncWriter(path) as w:
+            for i, b in enumerate(blocks):
+                w.submit(i * 256, b)
+        out = np.fromfile(path, "<f4").reshape(8, 64)
+        for i, b in enumerate(blocks):
+            np.testing.assert_array_equal(out[i], b)
+
+    def test_out_of_order_offsets(self, tmp_path, rng):
+        path = str(tmp_path / "ooo.bin")
+        a = rng.normal(size=16).astype("<f4")
+        b = rng.normal(size=16).astype("<f4")
+        with native.AsyncWriter(path) as w:
+            w.submit(64, b)
+            w.submit(0, a)
+        out = np.fromfile(path, "<f4")
+        np.testing.assert_array_equal(out[:16], a)
+        np.testing.assert_array_equal(out[16:32], b)

@@ -13,8 +13,9 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from upsp_tpu.geometry.bvh import FlatBVH, build_bvh
+from upsp_tpu.geometry.bvh import FlatBVH
 from upsp_tpu.geometry.grids import SurfaceModel, load_model
+from upsp_tpu.native import build_bvh  # native when built, numpy fallback
 from upsp_tpu.ops.raycast import BVHArrays, bvh_intersect, bvh_to_device
 
 

@@ -1,0 +1,205 @@
+"""ctypes bindings for the native host-runtime library (cpp/upsp_native.cpp).
+
+Every function degrades to the pure-numpy implementation when the shared
+library is absent, so the package never *requires* a compiler.  Build with::
+
+    make -C cpp
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATHS = (
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "cpp", "libupsp_native.so"),
+    "libupsp_native.so",
+)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    for p in _LIB_PATHS:
+        try:
+            lib = ctypes.CDLL(p)
+            break
+        except OSError:
+            continue
+    else:
+        return None
+    lib.upsp_unpack_12bpp.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p
+    ]
+    lib.upsp_unpack_10bpp.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p
+    ]
+    lib.upsp_bvh_max_nodes.argtypes = [ctypes.c_int64]
+    lib.upsp_bvh_max_nodes.restype = ctypes.c_int64
+    lib.upsp_bvh_build.argtypes = [ctypes.c_void_p] * 2 + [
+        ctypes.c_int64, ctypes.c_int
+    ] + [ctypes.c_void_p] * 6
+    lib.upsp_bvh_build.restype = ctypes.c_int64
+    lib.upsp_transpose_f32.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64,
+    ]
+    lib.upsp_transpose_f32.restype = ctypes.c_int
+    lib.upsp_awrite_open.argtypes = [ctypes.c_char_p]
+    lib.upsp_awrite_open.restype = ctypes.c_void_p
+    lib.upsp_awrite_submit.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64
+    ]
+    lib.upsp_awrite_submit.restype = ctypes.c_int
+    lib.upsp_awrite_close.argtypes = [ctypes.c_void_p]
+    lib.upsp_awrite_close.restype = ctypes.c_int
+    return lib
+
+
+_LIB = _load()
+
+
+def available() -> bool:
+    return _LIB is not None
+
+
+def unpack_12bpp(buf) -> np.ndarray:
+    """Native 12-bit unpack; numpy fallback otherwise."""
+    data = np.frombuffer(buf, np.uint8)
+    if _LIB is None:
+        from upsp_tpu.io.video.util import unpack_12bpp as np_unpack
+
+        return np_unpack(data)
+    n = data.size // 3 * 2
+    out = np.empty(n, np.uint16)
+    _LIB.upsp_unpack_12bpp(
+        data.ctypes.data_as(ctypes.c_void_p), data.size // 3 * 3,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def unpack_10bpp(buf) -> np.ndarray:
+    data = np.frombuffer(buf, np.uint8)
+    if _LIB is None:
+        from upsp_tpu.io.video.util import unpack_10bpp as np_unpack
+
+        return np_unpack(data)
+    n = data.size // 5 * 4
+    out = np.empty(n, np.uint16)
+    _LIB.upsp_unpack_10bpp(
+        data.ctypes.data_as(ctypes.c_void_p), data.size // 5 * 5,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def build_bvh(vertices: np.ndarray, triangles: np.ndarray, leaf_size: int = 4):
+    """Native BVH build returning a FlatBVH (python layout contract)."""
+    from upsp_tpu.geometry.bvh import FlatBVH, build_bvh as py_build
+
+    if _LIB is None:
+        return py_build(vertices, triangles, leaf_size)
+    v = np.ascontiguousarray(vertices, np.float32)
+    t = np.ascontiguousarray(triangles, np.int32)
+    T = t.shape[0]
+    cap = int(_LIB.upsp_bvh_max_nodes(T))
+    bmin = np.empty((cap, 3), np.float32)
+    bmax = np.empty((cap, 3), np.float32)
+    escape = np.empty(cap, np.int32)
+    leaf_start = np.empty(cap, np.int32)
+    leaf_count = np.empty(cap, np.int32)
+    order = np.empty(T, np.int64)
+    M = int(
+        _LIB.upsp_bvh_build(
+            v.ctypes.data_as(ctypes.c_void_p),
+            t.ctypes.data_as(ctypes.c_void_p),
+            T, leaf_size,
+            bmin.ctypes.data_as(ctypes.c_void_p),
+            bmax.ctypes.data_as(ctypes.c_void_p),
+            escape.ctypes.data_as(ctypes.c_void_p),
+            leaf_start.ctypes.data_as(ctypes.c_void_p),
+            leaf_count.ctypes.data_as(ctypes.c_void_p),
+            order.ctypes.data_as(ctypes.c_void_p),
+        )
+    )
+    p0 = v[t[order, 0]]
+    p1 = v[t[order, 1]]
+    p2 = v[t[order, 2]]
+    return FlatBVH(
+        bbox_min=bmin[:M].copy(),
+        bbox_max=bmax[:M].copy(),
+        escape=escape[:M].copy(),
+        leaf_start=leaf_start[:M].copy(),
+        leaf_count=leaf_count[:M].copy(),
+        tri_v0=p0,
+        tri_e1=p1 - p0,
+        tri_e2=p2 - p0,
+        tri_id=order.astype(np.int32),
+    )
+
+
+def transpose_f32(src: str, dst: str, rows: int, cols: int, block: int = 2048):
+    """Native blocked flat-file transpose; falls back to the Python tool."""
+    if _LIB is not None:
+        rc = _LIB.upsp_transpose_f32(
+            src.encode(), dst.encode(), rows, cols, block
+        )
+        if rc != 0:
+            raise OSError(f"upsp_transpose_f32 failed with code {rc}")
+        return
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "upsp_matrix_transpose",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "upsp-matrix-transpose"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.transpose_flat(src, dst, rows, cols, block)
+
+
+class AsyncWriter:
+    """Write-behind queue over a single output file (native when available)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._handle = None
+        self._fallback = None
+        if _LIB is not None:
+            self._handle = _LIB.upsp_awrite_open(path.encode())
+        if self._handle is None:
+            self._fallback = open(path, "wb")
+
+    def submit(self, offset_bytes: int, data: np.ndarray) -> None:
+        buf = np.ascontiguousarray(data)
+        if self._handle is not None:
+            rc = _LIB.upsp_awrite_submit(
+                self._handle, offset_bytes,
+                buf.ctypes.data_as(ctypes.c_void_p), buf.nbytes,
+            )
+            if rc != 0:
+                raise OSError("awrite_submit failed")
+        else:
+            self._fallback.seek(offset_bytes)
+            self._fallback.write(buf.tobytes())
+
+    def close(self) -> None:
+        if self._handle is not None:
+            rc = _LIB.upsp_awrite_close(self._handle)
+            self._handle = None
+            if rc != 0:
+                raise OSError("async writes reported errors")
+        elif self._fallback is not None:
+            self._fallback.close()
+            self._fallback = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from upsp_tpu.camera.model import CameraParams, cam_center, make_camera_params, project_points
-from upsp_tpu.geometry.bvh import FlatBVH, build_bvh
+from upsp_tpu.geometry.bvh import FlatBVH
+from upsp_tpu.native import build_bvh  # native when built, numpy fallback
 from upsp_tpu.geometry.grids import SurfaceModel, load_model
 from upsp_tpu.io.camera_json import read_camera_json
 from upsp_tpu.io.tgts import Target, read_tgts, targets_as_arrays
