@@ -1,0 +1,99 @@
+"""Diagnostics, p3d export, internal calibration bounds tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from upsp_tpu.camera.internal import (
+    AlphaShape,
+    incal_from_calibio,
+    points_inside_incal,
+)
+from upsp_tpu.pipeline.diagnostics import (
+    nodes_per_pixel_counts,
+    nodes_per_pixel_image,
+)
+from upsp_tpu.processing.p3d_export import p3d_to_gltf, p3d_to_obj
+from upsp_tpu.pipeline.synthetic import make_plate_grid
+
+
+class TestNodecount:
+    def test_counts(self):
+        pix = np.array([0, 0, 5, 9])
+        vis = np.array([True, True, True, False])
+        counts = nodes_per_pixel_counts(pix, vis, (2, 5))
+        assert counts[0, 0] == 2 and counts[1, 0] == 1 and counts.sum() == 3
+
+    def test_colormap(self):
+        img = nodes_per_pixel_image(np.array([[0, 1], [4, 9]]))
+        assert tuple(img[0, 0]) == (0, 0, 0)
+        assert tuple(img[0, 1]) == (0, 255, 0)
+        assert tuple(img[1, 1]) == (255, 255, 255)
+
+
+class TestExport:
+    def test_obj(self, tmp_path):
+        g = make_plate_grid(4, 3)
+        p = str(tmp_path / "m.obj")
+        p3d_to_obj(g, p)
+        text = open(p).read()
+        assert text.count("v ") == g.size
+        assert text.count("f ") == g.num_faces()
+
+    def test_gltf_valid(self, tmp_path):
+        g = make_plate_grid(4, 3)
+        p = str(tmp_path / "m.gltf")
+        p3d_to_gltf(g, p)
+        doc = json.load(open(p))
+        assert doc["asset"]["version"] == "2.0"
+        assert doc["accessors"][0]["count"] == g.size
+        assert doc["accessors"][1]["count"] == g.num_faces() * 3
+
+
+class TestIncal:
+    def test_calibio_parse(self, tmp_path):
+        params = {
+            "f": {"val": 1380.0}, "cx": {"val": 530.0},
+            "cy": {"val": 250.0}, "k1": {"val": -0.09},
+            "k2": {"val": 0.0}, "p1": {"val": 0.0},
+            "p2": {"val": 0.0}, "k3": {"val": 0.0},
+        }
+        data = {
+            "CameraModelCRT": {
+                "CameraModelBase": {
+                    "imageSize": {"height": 512, "width": 1024}
+                }
+            },
+            "parameters": params,
+        }
+        doc = {
+            "calibration": {
+                "cameras": [{"model": {"ptr_wrapper": {"data": data}}}]
+            }
+        }
+        p = tmp_path / "calibio.json"
+        p.write_text(json.dumps(doc))
+        img_size, cm, dist = incal_from_calibio(str(p))
+        assert tuple(img_size) == (512, 1024)
+        assert cm[0, 2] == pytest.approx(530.0 - 512.0)  # center-relative
+        assert cm[1, 2] == pytest.approx(250.0 - 256.0)
+        assert dist[0, 0] == pytest.approx(-0.09)
+
+    def test_alpha_shape_concave(self, rng):
+        # L-shaped point cloud: convex hull would wrongly include the notch
+        pts = []
+        for x in np.linspace(0, 10, 24):
+            for y in np.linspace(0, 10, 24):
+                if x <= 5 or y <= 5:
+                    pts.append((x, y))
+        shape = AlphaShape(np.array(pts), alpha=0.5)
+        assert shape.contains(np.array([[2.0, 2.0]]))[0]
+        assert shape.contains(np.array([[2.0, 8.0]]))[0]
+        assert not shape.contains(np.array([[8.0, 8.0]]))[0]  # notch
+
+    def test_points_inside_incal_fallback(self):
+        pts = np.array([[5.0, 5.0], [2000.0, 5.0]])
+        ok = points_inside_incal(None, pts, (512, 1024))
+        assert ok[0] and not ok[1]

