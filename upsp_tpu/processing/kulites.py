@@ -205,3 +205,24 @@ def read_kulite_positions(tgts_file: str) -> Dict[str, np.ndarray]:
         except FileNotFoundError:
             break
     return out
+
+
+# ---------------------------------------------------------------------------
+# virtual kulites: sample uPSP frames at transducer image locations
+# (cpp/include/kulites.h:41-77 role — studied, not copied)
+
+
+def virtual_kulite_histories(
+    frames: np.ndarray,  # (F, H, W)
+    uv: np.ndarray,  # (K, 2) image positions of the kulites
+    pad: int = 1,
+) -> np.ndarray:
+    """(K, F) mean intensity in a (2*pad+1)^2 patch around each kulite."""
+    F, H, W = frames.shape
+    uv = np.atleast_2d(uv)
+    out = np.empty((uv.shape[0], F), frames.dtype)
+    for k, (x, y) in enumerate(np.rint(uv).astype(int)):
+        x0, x1 = max(x - pad, 0), min(x + pad + 1, W)
+        y0, y1 = max(y - pad, 0), min(y + pad + 1, H)
+        out[k] = frames[:, y0:y1, x0:x1].mean(axis=(1, 2))
+    return out
