@@ -29,12 +29,12 @@ def fix_hot_pixels(
     against the *original* frame rather than sequentially.
     """
     x = img.astype(jnp.float32)
-    big = jnp.asarray(3.0e38, jnp.float32)  # sentinel for missing neighbors
-
-    up = jnp.concatenate([jnp.full_like(x[:1], big), x[:-1]], axis=0)
-    down = jnp.concatenate([x[1:], jnp.full_like(x[:1], big)], axis=0)
-    left = jnp.concatenate([jnp.full_like(x[:, :1], big), x[:, :-1]], axis=1)
-    right = jnp.concatenate([x[:, 1:], jnp.full_like(x[:, :1], big)], axis=1)
+    big = 3.0e38  # sentinel for missing neighbors
+    xp = jnp.pad(x, 1, constant_values=big)
+    up = xp[:-2, 1:-1]
+    down = xp[2:, 1:-1]
+    left = xp[1:-1, :-2]
+    right = xp[1:-1, 2:]
 
     # branch-free 4-element sorting network (sentinels sink to the top), then
     # median index n_valid//2: 3rd-smallest when all 4 neighbors exist,

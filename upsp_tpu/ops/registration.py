@@ -105,7 +105,6 @@ def ecc_affine(
     dtype = jnp.float32
     tmpl = gaussian_blur(ref.astype(dtype), gauss_size)
     img = gaussian_blur(inp.astype(dtype), gauss_size)
-    gx, gy = _gradients(img)
 
     H, W = tmpl.shape
     ys, xs = jnp.meshgrid(
@@ -115,11 +114,17 @@ def ecc_affine(
 
     def body(state):
         warp, rho_prev, drho, it = state
-        # MXU separable warps instead of gathers: the whole iteration is
-        # matmuls + elementwise (see ops/warp.py) — ~50x faster on TPU
+        # MXU separable warp instead of gathers (see ops/warp.py), and ONE
+        # warp per iteration: warped gradients come from the warped image by
+        # the affine chain rule  grad(img)(Wp) = A^-T grad_p[img(Wp)],
+        # exact for affine warps up to the same finite-difference error as
+        # differentiating the unwarped image.
         iw = warp_affine_mxu(img, warp, order=2)
-        gxw = warp_affine_mxu(gx, warp, order=1)
-        gyw = warp_affine_mxu(gy, warp, order=1)
+        gix, giy = _gradients(iw)
+        A = warp[:, :2]
+        Ainv_T = jnp.linalg.inv(A).T
+        gxw = Ainv_T[0, 0] * gix + Ainv_T[0, 1] * giy
+        gyw = Ainv_T[1, 0] * gix + Ainv_T[1, 1] * giy
 
         # validity mask: pixels whose warped sample lies fully in-bounds.
         # All statistics/projections are restricted to it (findTransformECC
