@@ -40,18 +40,19 @@ def bench_tpu() -> float:
     state = make_synthetic_state(
         n_cameras=1, image_hw=IMAGE_HW, grid_shape=GRID_SHAPE
     )
-    fn = jax.jit(make_frame_processor(state))
+    step = make_frame_processor(state)
+    # production shape: one dispatch maps the fused step over the frame batch
+    batch_fn = jax.jit(lambda fr: jax.lax.map(step, fr))
     frames = jnp.asarray(make_frame_batch(state, N_FRAMES))
 
-    # warmup / compile
-    fn(frames[0]).block_until_ready()
+    batch_fn(frames).block_until_ready()  # warmup / compile
 
+    reps = 3
     t0 = time.perf_counter()
-    out = None
-    for i in range(N_FRAMES):
-        out = fn(frames[i])
+    for _ in range(reps):
+        out = batch_fn(frames)
     out.block_until_ready()
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / reps
     return N_FRAMES / dt
 
 

@@ -26,8 +26,9 @@ import numpy as np
 
 
 class PolyDetrender(NamedTuple):
-    basis: jax.Array  # (F, C) float32 — A
-    pinv: jax.Array  # (C, F) float32 — pinv(A)
+    basis: jax.Array  # (F, C) float32 — orthonormal basis Q (spans Vandermonde)
+    pinv: jax.Array  # (C, F) float32 — Q^T (projector = basis @ pinv)
+    to_monomial: jax.Array  # (C, C) — R^-1: Q-basis coeffs -> monomial coeffs
 
     @property
     def n_frames(self) -> int:
@@ -39,13 +40,28 @@ class PolyDetrender(NamedTuple):
 
 
 def make_detrender(n_frames: int, degree: int = 6) -> PolyDetrender:
-    """Build the normalized-frame-index Vandermonde basis + pseudo-inverse."""
+    """Build the degree-`degree` polynomial projector over (f/F) frame index.
+
+    The raw monomial Vandermonde has condition ~1e4 at degree 6, which
+    amplifies f32 round-off in the fit by the same factor.  Orthonormalizing
+    the columns (QR in f64) spans the identical polynomial subspace but makes
+    the device-side matmuls O(1)-conditioned: fit = Q (Q^T y).  ``to_monomial``
+    recovers reference-format monomial coefficients for save/restore.
+    """
     f = np.arange(n_frames, dtype=np.float64) / n_frames
     A = np.stack([f**c for c in range(degree + 1)], axis=1)  # (F, C)
-    P = np.linalg.pinv(A)  # (C, F), f64 for conditioning
+    Q, R = np.linalg.qr(A)
     return PolyDetrender(
-        basis=jnp.asarray(A, jnp.float32), pinv=jnp.asarray(P, jnp.float32)
+        basis=jnp.asarray(Q, jnp.float32),
+        pinv=jnp.asarray(Q.T, jnp.float32),
+        to_monomial=jnp.asarray(np.linalg.inv(R), jnp.float64),
     )
+
+
+def monomial_coeffs(det: PolyDetrender, coeffs: jax.Array) -> jax.Array:
+    """Q-basis coefficients (..., C) -> monomial coefficients (low->high)."""
+    return jnp.einsum("dc,...c->...d", det.to_monomial.astype(coeffs.dtype),
+                      coeffs)
 
 
 @jax.jit
