@@ -185,3 +185,76 @@ class TestRunDatapoint:
         out = run_datapoint(cfg, checkout=True, frames_array=frames)
         assert out.intensity is None
         assert out.state.n_nodes == 99
+
+
+class TestResumeAndDeterminism:
+    def _setup(self, tmp_path):
+        from upsp_tpu.io.plot3d import write_p3d_grid
+        from upsp_tpu.pipeline.config import CameraInputs, ProcessingConfig
+        from upsp_tpu.pipeline.synthetic import make_plate_grid
+
+        grid_path = str(tmp_path / "g.grid")
+        write_p3d_grid(grid_path, make_plate_grid(21, 17))
+        cam_path = str(tmp_path / "cam.json")
+        with open(cam_path, "w") as fh:
+            json.dump(
+                {
+                    "uPSP_cameraMatrix": [[200.0, 0, 0], [0, 200.0, 0], [0, 0, 1]],
+                    "distCoeffs": [[0, 0, 0, 0, 0]],
+                    "rmat": [[1, 0, 0], [0, -1, 0], [0, 0, -1]],
+                    "tvec": [-5.0, 4.0, 20.0],
+                },
+                fh,
+            )
+        wtd_path = str(tmp_path / "t.wtd")
+        with open(wtd_path, "w") as fh:
+            fh.write("RUN 1 1\n#\tMACH\tALPHA\tBETA\tPHI\tQ\tPS\tTTF\tSTRUTZ\n")
+            fh.write("0.80\t0.00\t0.00\t0.00\t144.00\t500.00\t80.00\t0.00\n")
+        paint_path = str(tmp_path / "paint.cal")
+        with open(paint_path, "w") as fh:
+            fh.write("a = 1.0\nb = 0.0\nc = 0\nd = 0\ne = 0\nf = 0\n")
+        cfg = ProcessingConfig(
+            test_id="synth", run=1, sequence=1,
+            cameras=[CameraInputs(number=1, calibration=cam_path)],
+            grid=grid_path, sds=wtd_path, paint_cal=paint_path,
+            registration="none", target_patcher="none",
+            out_dir=str(tmp_path / "out"),
+        )
+        H, W, F = 64, 96, 16
+        yy, xx = np.mgrid[0:H, 0:W]
+        base = (2000 + 5.0 * xx + 3.0 * yy).astype(np.float32)
+        frames = np.stack(
+            [base[None] * (1 + 0.01 * np.sin(2 * np.pi * 5 * f / F))
+             for f in range(F)]
+        )
+        return cfg, frames
+
+    def test_resume_skips_phase1(self, tmp_path):
+        from upsp_tpu.pipeline.run import run_datapoint
+
+        cfg, frames = self._setup(tmp_path)
+        out1 = run_datapoint(cfg, frames_array=frames)
+        # resume run: phase1 intensity reloaded from disk, results identical
+        out2 = run_datapoint(cfg, frames_array=frames, resume=True)
+        np.testing.assert_array_equal(out2.intensity, out1.intensity)
+        np.testing.assert_array_equal(
+            np.array(out2.phase2.pressure_transpose),
+            np.array(out1.phase2.pressure_transpose),
+        )
+
+    def test_vv_dumps_deterministic(self, tmp_path):
+        """Two identical runs produce bit-identical vv regression dumps."""
+        from upsp_tpu.io.flatfile import read_vv
+        from upsp_tpu.pipeline.run import run_datapoint
+
+        cfg, frames = self._setup(tmp_path)
+        run_datapoint(cfg, frames_array=frames)
+        vv1 = {
+            n: read_vv(str(tmp_path / "out" / n))
+            for n in ("vv-int-avg.dat", "vv-int-rms.dat", "vv-cp-rms.dat")
+        }
+        run_datapoint(cfg, frames_array=frames)
+        for n, v in vv1.items():
+            np.testing.assert_array_equal(
+                read_vv(str(tmp_path / "out" / n)), v
+            )

@@ -104,3 +104,25 @@ class TestECC:
         # residual can drop; 6x is far beyond what a wrong warp could achieve
         assert err_after < err_before / 6.0
         assert float(rho) > 0.95
+
+
+class TestPyramid:
+    def test_large_shift_recovered(self):
+        """Single-level ECC can't capture ~8 px shifts; the pyramid can."""
+        from upsp_tpu.ops.registration import ecc_affine_pyramid
+
+        rng = np.random.default_rng(11)
+        big = make_test_image(rng, h=192, w=256)
+        true_warp = np.array([[1.0, 0.0, 8.0], [0.0, 1.0, -6.0]], np.float32)
+        inp = cv2.warpAffine(
+            big, true_warp, (big.shape[1], big.shape[0]),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        )
+        warp, rho = ecc_affine_pyramid(
+            jnp.asarray(big), jnp.asarray(inp), levels=3
+        )
+        warp = np.array(warp)
+        # recovered translation close to the inverse shift
+        assert abs(warp[0, 2] + 8.0) < 0.6
+        assert abs(warp[1, 2] - 6.0) < 0.6
+        assert float(rho) > 0.9

@@ -90,6 +90,39 @@ def _gradients(img: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return gx, gy
 
 
+@functools.partial(jax.jit, static_argnames=("max_iters", "gauss_size", "levels"))
+def ecc_affine_pyramid(
+    ref: jax.Array,
+    inp: jax.Array,
+    max_iters: int = 50,
+    epsilon: float = 1e-3,
+    gauss_size: int = 5,
+    levels: int = 2,
+):
+    """Coarse-to-fine ECC: estimate at 2^k decimation, refine at full res.
+
+    Extends the capture range beyond single-level ECC (which needs the
+    initial displacement within the blur radius) to ~2^levels x larger
+    motions, at lower total cost — the coarse iterations run on 4^k fewer
+    pixels.  Returns (warp, rho) like :func:`ecc_affine`.
+    """
+    from upsp_tpu.ops.warp import downsample2, scale_warp
+
+    warp = identity_warp()
+    for lev in range(levels - 1, -1, -1):
+        r, i = ref.astype(jnp.float32), inp.astype(jnp.float32)
+        for _ in range(lev):
+            r = downsample2(r)
+            i = downsample2(i)
+        warp_lv = scale_warp(warp, 0.5**lev)
+        warp_lv, rho = _ecc_core(
+            r, i, warp_lv, max_iters=max_iters, epsilon=epsilon,
+            gauss_size=gauss_size,
+        )
+        warp = scale_warp(warp_lv, 2.0**lev)
+    return warp, rho
+
+
 @functools.partial(jax.jit, static_argnames=("max_iters", "gauss_size"))
 def ecc_affine(
     ref: jax.Array,
@@ -102,6 +135,18 @@ def ecc_affine(
 
     Returns (warp (2,3), rho) where rho is the final correlation coefficient.
     """
+    return _ecc_core(ref, inp, identity_warp(), max_iters=max_iters,
+                     epsilon=epsilon, gauss_size=gauss_size)
+
+
+def _ecc_core(
+    ref: jax.Array,
+    inp: jax.Array,
+    warp_init: jax.Array,
+    max_iters: int = 50,
+    epsilon: float = 1e-3,
+    gauss_size: int = 5,
+):
     dtype = jnp.float32
     tmpl = gaussian_blur(ref.astype(dtype), gauss_size)
     img = gaussian_blur(inp.astype(dtype), gauss_size)
@@ -179,7 +224,12 @@ def ecc_affine(
         _, _, drho, it = state
         return (it < max_iters) & (drho >= epsilon)
 
-    init = (identity_warp(dtype), jnp.asarray(-1.0, dtype), jnp.asarray(jnp.inf, dtype), 0)
+    init = (
+        warp_init.astype(dtype),
+        jnp.asarray(-1.0, dtype),
+        jnp.asarray(jnp.inf, dtype),
+        0,
+    )
     warp, rho, _, _ = jax.lax.while_loop(cond, body, init)
     return warp, rho
 

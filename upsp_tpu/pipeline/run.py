@@ -63,10 +63,15 @@ def run_datapoint(
     frames_per_chunk: int = 64,
     frames_array: Optional[np.ndarray] = None,
     write_outputs: bool = True,
+    resume: bool = False,
 ) -> DatapointOutputs:
     """Process one datapoint end to end.
 
     ``frames_array`` (F, C, H, W) bypasses video files (tests/benchmarks).
+    ``resume=True`` reuses an existing, size-consistent ``intensity`` flat
+    file in ``cfg.out_dir`` and skips phase 1 — the reference's restartability
+    pattern of on-disk intermediates (SURVEY.md section 5: intensity flat
+    files make the pipeline resumable per stage).
     """
     # ---- open video, grab first frames -------------------------------------
     if frames_array is not None:
@@ -88,8 +93,22 @@ def run_datapoint(
         return DatapointOutputs(state, None, None, None, None, None, n_frames)
 
     # ---- phase 1: stream frame chunks through the fused program ------------
-    fn = make_frame_processor(state)
     n_nodes = state.model.size
+    if resume and cfg.out_dir:
+        from upsp_tpu.io.flatfile import read_flat
+
+        ipath = os.path.join(cfg.out_dir, "intensity")
+        expect = n_frames * n_nodes
+        if os.path.exists(ipath) and os.path.getsize(ipath) == expect * 4:
+            log.info("resume: reusing existing intensity file, skipping phase 1")
+            intensity = read_flat(ipath).reshape(n_frames, n_nodes)
+            if readers:
+                for r in readers:
+                    r.close()
+            return _finish_from_intensity(cfg, state, intensity, write_outputs)
+        log.info("resume requested but no consistent intensity file; running")
+
+    fn = make_frame_processor(state)
     intensity = np.empty((n_frames, n_nodes), np.float32)
 
     def chunks():
@@ -119,6 +138,17 @@ def run_datapoint(
         for r in readers:
             r.close()
 
+    return _finish_from_intensity(cfg, state, intensity, write_outputs)
+
+
+def _finish_from_intensity(
+    cfg: ProcessingConfig,
+    state: Phase0State,
+    intensity: np.ndarray,
+    write_outputs: bool,
+) -> DatapointOutputs:
+    """Statistics + coverage + phase 2 + outputs, from a (F, N) intensity."""
+    n_frames = intensity.shape[0]
     with np.errstate(invalid="ignore"):
         sol_avg = intensity.mean(axis=0)
         sol_rms = np.sqrt((intensity.astype(np.float64) ** 2).mean(axis=0)).astype(
