@@ -54,7 +54,7 @@ def make_detrender(n_frames: int, degree: int = 6) -> PolyDetrender:
     return PolyDetrender(
         basis=jnp.asarray(Q, jnp.float32),
         pinv=jnp.asarray(Q.T, jnp.float32),
-        to_monomial=jnp.asarray(np.linalg.inv(R), jnp.float64),
+        to_monomial=jnp.asarray(np.linalg.inv(R)),  # f64 under x64, else f32
     )
 
 
