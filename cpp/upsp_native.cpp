@@ -120,15 +120,18 @@ void build_rec(BuildCtx& c, int64_t start, int64_t count) {
       axis = k;
     }
   }
-  if (ext <= 0.0f) return;  // degenerate cluster: oversized leaf
 
   const int64_t half = count / 2;
   const float* cen = c.centroid;
-  std::nth_element(
-      c.order + start, c.order + start + half, c.order + start + count,
-      [cen, axis](int64_t a, int64_t b) {
-        return cen[a * 3 + axis] < cen[b * 3 + axis];
-      });
+  if (ext > 0.0f) {
+    std::nth_element(
+        c.order + start, c.order + start + half, c.order + start + count,
+        [cen, axis](int64_t a, int64_t b) {
+          return cen[a * 3 + axis] < cen[b * 3 + axis];
+        });
+  }
+  // degenerate clusters (coincident centroids) still split by count so leaf
+  // sizes stay bounded — oversized leaves explode the device traversal blocks
   c.leaf_start[idx] = -1;  // becomes internal
   c.leaf_count[idx] = 0;
   build_rec(c, start, half);
@@ -209,6 +212,107 @@ int64_t upsp_bvh_build(const float* vertices, const int32_t* triangles,
   std::memcpy(leaf_count, ctx.leaf_count.data(), M * sizeof(int32_t));
   std::memcpy(order_out, order.data(), n_tris * sizeof(int64_t));
   return M;
+}
+
+// ---------------------------------------------------------------------------
+// batched closest-hit BVH traversal (escape-link layout, Moller-Trumbore).
+// Semantics identical to upsp_tpu/ops/raycast.py:bvh_intersect (same eps).
+
+namespace {
+
+struct BVHView {
+  const float* bbox_min;   // (M,3)
+  const float* bbox_max;   // (M,3)
+  const int32_t* escape;   // (M,)
+  const int32_t* leaf_start;  // (M,) -1 internal
+  const int32_t* leaf_count;  // (M,)
+  const float* tri_v0;     // (T,3) reordered
+  const float* tri_e1;
+  const float* tri_e2;
+  const int32_t* tri_id;   // (T,)
+  int64_t n_nodes;
+};
+
+inline void intersect_one(const BVHView& b, const float* o, const float* d,
+                          float* out_t, int32_t* out_prim) {
+  float inv[3];
+  for (int k = 0; k < 3; ++k)
+    inv[k] = std::abs(d[k]) > 1e-30f ? 1.0f / d[k] : (d[k] >= 0 ? 1e30f : -1e30f);
+  float best_t = 3e38f;
+  int32_t best_prim = -1;
+  int64_t node = 0;
+  const float eps = 1e-9f;
+  while (node < b.n_nodes) {
+    float tnear = -3e38f, tfar = 3e38f;
+    for (int k = 0; k < 3; ++k) {
+      const float t0 = (b.bbox_min[node * 3 + k] - o[k]) * inv[k];
+      const float t1 = (b.bbox_max[node * 3 + k] - o[k]) * inv[k];
+      tnear = std::max(tnear, std::min(t0, t1));
+      tfar = std::min(tfar, std::max(t0, t1));
+    }
+    const bool box_hit = tfar >= std::max(tnear, 0.0f) && tnear < best_t;
+    const int32_t start = b.leaf_start[node];
+    if (box_hit && start >= 0) {
+      const int32_t count = b.leaf_count[node];
+      for (int32_t j = 0; j < count; ++j) {
+        const float* v0 = b.tri_v0 + (start + j) * 3;
+        const float* e1 = b.tri_e1 + (start + j) * 3;
+        const float* e2 = b.tri_e2 + (start + j) * 3;
+        const float p0 = d[1] * e2[2] - d[2] * e2[1];
+        const float p1 = d[2] * e2[0] - d[0] * e2[2];
+        const float p2 = d[0] * e2[1] - d[1] * e2[0];
+        const float det = e1[0] * p0 + e1[1] * p1 + e1[2] * p2;
+        if (std::abs(det) <= eps) continue;
+        const float idet = 1.0f / det;
+        const float s0 = o[0] - v0[0], s1 = o[1] - v0[1], s2 = o[2] - v0[2];
+        const float u = (s0 * p0 + s1 * p1 + s2 * p2) * idet;
+        if (u < 0.0f || u > 1.0f) continue;
+        const float q0 = s1 * e1[2] - s2 * e1[1];
+        const float q1 = s2 * e1[0] - s0 * e1[2];
+        const float q2 = s0 * e1[1] - s1 * e1[0];
+        const float v = (d[0] * q0 + d[1] * q1 + d[2] * q2) * idet;
+        if (v < 0.0f || u + v > 1.0f) continue;
+        const float t = (e2[0] * q0 + e2[1] * q1 + e2[2] * q2) * idet;
+        if (t > eps && t < best_t) {
+          best_t = t;
+          best_prim = b.tri_id[start + j];
+        }
+      }
+    }
+    node = (box_hit && start < 0) ? node + 1 : b.escape[node];
+  }
+  *out_t = best_prim >= 0 ? best_t : 3e38f;
+  *out_prim = best_prim;
+}
+
+}  // namespace
+
+void upsp_bvh_intersect(
+    const float* bbox_min, const float* bbox_max, const int32_t* escape,
+    const int32_t* leaf_start, const int32_t* leaf_count, const float* tri_v0,
+    const float* tri_e1, const float* tri_e2, const int32_t* tri_id,
+    int64_t n_nodes, const float* origins, const float* directions,
+    int64_t n_rays, float* out_t, int32_t* out_prim) {
+  BVHView b{bbox_min, bbox_max, escape, leaf_start, leaf_count,
+            tri_v0, tri_e1, tri_e2, tri_id, n_nodes};
+  const int n_threads = std::max(1u, std::thread::hardware_concurrency());
+  auto work = [&](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; ++r)
+      intersect_one(b, origins + r * 3, directions + r * 3, out_t + r,
+                    out_prim + r);
+  };
+  if (n_rays < 4096 || n_threads == 1) {
+    work(0, n_rays);
+    return;
+  }
+  std::vector<std::thread> pool;
+  const int64_t per = (n_rays + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int64_t r0 = t * per;
+    const int64_t r1 = std::min(n_rays, r0 + per);
+    if (r0 < r1) pool.emplace_back(work, r0, r1);
+  }
+  for (auto& th : pool) th.join();
 }
 
 // ---------------------------------------------------------------------------

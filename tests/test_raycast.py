@@ -77,7 +77,8 @@ class TestBVH:
         # outside ray misses everything
         assert not bool(hit[2])
 
-    def test_matches_brute_force_random(self, rng):
+    def test_matches_brute_force_random(self):
+        rng = np.random.default_rng(123)  # local: ties depend on geometry
         verts = rng.normal(size=(60, 3)).astype(np.float32)
         tris = rng.integers(0, 60, size=(80, 3)).astype(np.int32)
         # drop degenerate triangles

@@ -84,6 +84,15 @@ class VisibilityChecker:
         """Batched any-hit query; True where the ray strikes the mesh."""
         origins = np.atleast_2d(origins)
         directions = np.atleast_2d(directions)
+        from upsp_tpu import native
+
+        if native.available():
+            _, _, hit = native.bvh_intersect(
+                self._bvh,
+                origins.astype(np.float32),
+                directions.astype(np.float32),
+            )
+            return hit
         _, _, hit = bvh_intersect(
             self._bvh_dev,
             jnp.asarray(origins, jnp.float32),

@@ -81,11 +81,13 @@ def build_bvh(
         c = centroid[seg]
         extent = c.max(axis=0) - c.min(axis=0)
         axis = int(np.argmax(extent))
-        if extent[axis] <= 0:
-            return  # degenerate cluster: oversized leaf
         half = count // 2
-        part = np.argpartition(c[:, axis], half)
-        order[start : start + count] = seg[part]
+        if extent[axis] > 0:
+            part = np.argpartition(c[:, axis], half)
+            order[start : start + count] = seg[part]
+        # degenerate cluster (coincident centroids): split by count anyway —
+        # identical bboxes, but leaf sizes stay bounded, which keeps the
+        # max_leaf-sized traversal blocks small on device
         starts[idx] = -1  # becomes internal
         counts[idx] = 0
         rec(start, half)

@@ -42,6 +42,10 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int
     ] + [ctypes.c_void_p] * 6
     lib.upsp_bvh_build.restype = ctypes.c_int64
+    lib.upsp_bvh_intersect.argtypes = (
+        [ctypes.c_void_p] * 9 + [ctypes.c_int64] + [ctypes.c_void_p] * 2
+        + [ctypes.c_int64] + [ctypes.c_void_p] * 2
+    )
     lib.upsp_transpose_f32.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64,
@@ -139,6 +143,42 @@ def build_bvh(vertices: np.ndarray, triangles: np.ndarray, leaf_size: int = 4):
         tri_e2=p2 - p0,
         tri_id=order.astype(np.int32),
     )
+
+
+def bvh_intersect(flat, origins: np.ndarray, directions: np.ndarray):
+    """Native multithreaded closest-hit traversal over a FlatBVH.
+
+    Returns (t (R,), prim (R,), hit (R,)) with the same semantics as the JAX
+    traversal (ops/raycast.py).  Raises when the library is unavailable —
+    callers choose the JAX path explicitly in that case.
+    """
+    if _LIB is None:
+        raise RuntimeError("native library unavailable")
+    o = np.ascontiguousarray(origins, np.float32)
+    d = np.ascontiguousarray(directions, np.float32)
+    R = o.shape[0]
+    out_t = np.empty(R, np.float32)
+    out_prim = np.empty(R, np.int32)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    bb_min = np.ascontiguousarray(flat.bbox_min, np.float32)
+    bb_max = np.ascontiguousarray(flat.bbox_max, np.float32)
+    esc = np.ascontiguousarray(flat.escape, np.int32)
+    ls = np.ascontiguousarray(flat.leaf_start, np.int32)
+    lc = np.ascontiguousarray(flat.leaf_count, np.int32)
+    v0 = np.ascontiguousarray(flat.tri_v0, np.float32)
+    e1 = np.ascontiguousarray(flat.tri_e1, np.float32)
+    e2 = np.ascontiguousarray(flat.tri_e2, np.float32)
+    ti = np.ascontiguousarray(flat.tri_id, np.int32)
+    _LIB.upsp_bvh_intersect(
+        ptr(bb_min), ptr(bb_max), ptr(esc), ptr(ls), ptr(lc),
+        ptr(v0), ptr(e1), ptr(e2), ptr(ti),
+        flat.n_nodes, ptr(o), ptr(d), R, ptr(out_t), ptr(out_prim),
+    )
+    hit = out_prim >= 0
+    return out_t, out_prim, hit
 
 
 def transpose_f32(src: str, dst: str, rows: int, cols: int, block: int = 2048):

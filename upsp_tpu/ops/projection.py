@@ -115,6 +115,80 @@ def build_node_projection(
     )
 
 
+def build_node_projection_host(
+    params: CameraParams,
+    flat_bvh,  # FlatBVH (host arrays)
+    triangles: np.ndarray,
+    vertices: np.ndarray,
+    normals: np.ndarray,
+    is_datanode: np.ndarray,
+    oblique_angle_deg: float,
+    height: int,
+    width: int,
+    n_jitter: int = 6,
+    jitter: float = 1e-4,
+) -> NodeProjection:
+    """Host/native-raycast version of build_node_projection (same semantics).
+
+    Phase 0's visibility rays traverse the BVH on the host through the
+    multithreaded C++ walker (the vmapped while_loop traversal compiles
+    pathologically on the TPU backend); everything else is vectorized numpy.
+    """
+    from upsp_tpu import native
+
+    n = vertices.shape[0]
+    center = np.array(cam_center(params), np.float64)
+    pix = np.array(project_points(params, jnp.asarray(vertices, jnp.float64)))
+    in_frame = (
+        (pix[:, 0] >= 0) & (pix[:, 0] < width)
+        & (pix[:, 1] >= 0) & (pix[:, 1] < height)
+    )
+
+    d = vertices.astype(np.float64) - center
+    dist = np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = (d / np.maximum(dist, 1e-30)).astype(np.float32)
+    origins = np.broadcast_to(center.astype(np.float32), vertices.shape)
+
+    node_ids = np.arange(n)
+    _, prim, hit = native.bvh_intersect(flat_bvh, origins, dirs)
+    tri_nodes = triangles[np.maximum(prim, 0)]
+    own = hit & np.any(tri_nodes == node_ids[:, None], axis=1)
+
+    offsets = np.array(
+        [[-jitter, 0, 0], [jitter, 0, 0], [0, -jitter, 0],
+         [0, jitter, 0], [0, 0, -jitter], [0, 0, jitter]], np.float64,
+    )
+    for k in range(n_jitter):
+        missing = ~own
+        if not missing.any():
+            break
+        pk = vertices[missing].astype(np.float64) + offsets[k]
+        dk = pk - center
+        dk = (dk / np.linalg.norm(dk, axis=1, keepdims=True)).astype(np.float32)
+        _, prim_k, hit_k = native.bvh_intersect(
+            flat_bvh, origins[missing], dk
+        )
+        trik = triangles[np.maximum(prim_k, 0)]
+        own_k = hit_k & np.any(trik == node_ids[missing][:, None], axis=1)
+        own[missing] |= own_k
+
+    thresh = np.cos(np.deg2rad(180.0 - oblique_angle_deg))
+    cos_theta = np.sum(normals * dirs, axis=-1)
+    forward = cos_theta < thresh
+
+    visible = np.asarray(is_datanode, bool) & in_frame & own & forward
+    col = np.clip(np.rint(pix[:, 0]), 0, width - 1).astype(np.int32)
+    row = np.clip(np.rint(pix[:, 1]), 0, height - 1).astype(np.int32)
+    flat = row * width + col
+    return NodeProjection(
+        pixel_index=jnp.asarray(np.where(visible, flat, 0)),
+        weight=jnp.asarray(visible.astype(np.float32)),
+        u=jnp.asarray(np.where(visible, pix[:, 0] / width, 0).astype(np.float32)),
+        v=jnp.asarray(np.where(visible, pix[:, 1] / height, 0).astype(np.float32)),
+        visible=jnp.asarray(visible),
+    )
+
+
 def view_angles_deg(
     vertices: jax.Array, normals: jax.Array, center: jax.Array
 ) -> jax.Array:

@@ -24,30 +24,54 @@ from upsp_tpu.geometry.bvh import FlatBVH
 
 
 class BVHArrays(NamedTuple):
-    """Device-resident flattened BVH (a pytree mirror of FlatBVH)."""
+    """Device-resident flattened BVH.
+
+    Leaf triangles are stored *per node*, padded to the max leaf size, so the
+    traversal loop only ever gathers with the scalar node index — the same
+    access pattern as the bbox arrays.  (A vector-indexed gather of the global
+    triangle table inside the vmapped while_loop lowered to a rays x tris x 3
+    intermediate on the TPU backend.)  Memory cost: ~2x the triangle soup.
+    """
 
     bbox_min: jax.Array  # (M, 3)
     bbox_max: jax.Array  # (M, 3)
     escape: jax.Array  # (M,)
-    leaf_start: jax.Array  # (M,)
-    leaf_count: jax.Array  # (M,)
-    tri_v0: jax.Array  # (T, 3)
-    tri_e1: jax.Array  # (T, 3)
-    tri_e2: jax.Array  # (T, 3)
-    tri_id: jax.Array  # (T,)
+    leaf_count: jax.Array  # (M,) 0 for internal nodes
+    leaf_v0: jax.Array  # (M, L, 3)
+    leaf_e1: jax.Array  # (M, L, 3)
+    leaf_e2: jax.Array  # (M, L, 3)
+    leaf_tri_id: jax.Array  # (M, L) original triangle ids (-1 padding)
+
+    @property
+    def max_leaf(self) -> int:
+        return int(self.leaf_v0.shape[1])
 
 
 def bvh_to_device(bvh: FlatBVH, dtype=jnp.float32) -> BVHArrays:
+    M = bvh.n_nodes
+    L = max(bvh.max_leaf_count, 1)
+    leaf_v0 = np.zeros((M, L, 3), np.float32)
+    leaf_e1 = np.zeros((M, L, 3), np.float32)
+    leaf_e2 = np.zeros((M, L, 3), np.float32)
+    leaf_tri_id = np.full((M, L), -1, np.int32)
+    counts = np.where(bvh.leaf_start >= 0, bvh.leaf_count, 0).astype(np.int64)
+    leaves = np.nonzero(bvh.leaf_start >= 0)[0]
+    slots = bvh.leaf_start[leaves][:, None] + np.arange(L)[None, :]  # (K, L)
+    valid = np.arange(L)[None, :] < counts[leaves][:, None]
+    safe = np.where(valid, slots, 0)
+    leaf_v0[leaves] = bvh.tri_v0[safe] * valid[..., None]
+    leaf_e1[leaves] = bvh.tri_e1[safe] * valid[..., None]
+    leaf_e2[leaves] = bvh.tri_e2[safe] * valid[..., None]
+    leaf_tri_id[leaves] = np.where(valid, bvh.tri_id[safe], -1)
     return BVHArrays(
         bbox_min=jnp.asarray(bvh.bbox_min, dtype),
         bbox_max=jnp.asarray(bvh.bbox_max, dtype),
         escape=jnp.asarray(bvh.escape),
-        leaf_start=jnp.asarray(bvh.leaf_start),
-        leaf_count=jnp.asarray(bvh.leaf_count),
-        tri_v0=jnp.asarray(bvh.tri_v0, dtype),
-        tri_e1=jnp.asarray(bvh.tri_e1, dtype),
-        tri_e2=jnp.asarray(bvh.tri_e2, dtype),
-        tri_id=jnp.asarray(bvh.tri_id),
+        leaf_count=jnp.asarray(counts.astype(np.int32)),
+        leaf_v0=jnp.asarray(leaf_v0, dtype),
+        leaf_e1=jnp.asarray(leaf_e1, dtype),
+        leaf_e2=jnp.asarray(leaf_e2, dtype),
+        leaf_tri_id=jnp.asarray(leaf_tri_id),
     )
 
 
@@ -79,9 +103,9 @@ def bvh_intersect(bvh: BVHArrays, origins, directions, max_leaf: int = 4):
     index or -1, hit (R,) bool).
     """
     M = bvh.bbox_min.shape[0]
-    inf = jnp.asarray(jnp.inf, bvh.tri_v0.dtype)
-    origins = jnp.asarray(origins, bvh.tri_v0.dtype)
-    directions = jnp.asarray(directions, bvh.tri_v0.dtype)
+    inf = jnp.asarray(jnp.inf, bvh.leaf_v0.dtype)
+    origins = jnp.asarray(origins, bvh.leaf_v0.dtype)
+    directions = jnp.asarray(directions, bvh.leaf_v0.dtype)
 
     def one_ray(origin, direction):
         inv_dir = jnp.where(
@@ -103,23 +127,22 @@ def bvh_intersect(bvh: BVHArrays, origins, directions, max_leaf: int = 4):
             tfar = jnp.min(jnp.maximum(t0, t1))
             box_hit = (tfar >= jnp.maximum(tnear, 0.0)) & (tnear < best_t)
 
-            start = bvh.leaf_start[node]
             count = bvh.leaf_count[node]
-            is_leaf = start >= 0
+            is_leaf = count > 0
 
             def test_leaf(bt, bp):
-                idx = start + jnp.arange(max_leaf)
-                mask = jnp.arange(max_leaf) < count
-                safe = jnp.where(mask, idx, 0)
-                v0 = bvh.tri_v0[safe]
-                e1 = bvh.tri_e1[safe]
-                e2 = bvh.tri_e2[safe]
+                # scalar node index only: no vector-indexed table gathers
+                v0 = bvh.leaf_v0[node]
+                e1 = bvh.leaf_e1[node]
+                e2 = bvh.leaf_e2[node]
+                ids = bvh.leaf_tri_id[node]
+                mask = jnp.arange(v0.shape[0]) < count
                 t, valid = moller_trumbore(origin, direction, v0, e1, e2)
                 t = jnp.where(valid & mask & (t < bt), t, inf)
                 j = jnp.argmin(t)
                 better = t[j] < bt
                 bt = jnp.where(better, t[j], bt)
-                bp = jnp.where(better, bvh.tri_id[safe[j]], bp)
+                bp = jnp.where(better, ids[j], bp)
                 return bt, bp
 
             do_leaf = box_hit & is_leaf

@@ -35,6 +35,7 @@ from upsp_tpu.ops.projection import (
     NodeProjection,
     adjust_projection_for_weights,
     build_node_projection,
+    build_node_projection_host,
     identify_skipped_nodes,
 )
 from upsp_tpu.ops.raycast import BVHArrays, bvh_intersect, bvh_to_device
@@ -74,6 +75,7 @@ def visible_targets(
     oblique_angle_deg: float,
     image_hw: Tuple[int, int],
     max_leaf: int = 4,
+    flat_bvh: Optional[FlatBVH] = None,
 ) -> List[Target]:
     """getTargets parity: in-frame, unoccluded, facing within the oblique limit.
 
@@ -92,14 +94,23 @@ def visible_targets(
     d = xyz - center
     dist = np.linalg.norm(d, axis=1)
     dirs = d / dist[:, None]
-    t, prim, hit = bvh_intersect(
-        bvh_dev,
-        jnp.asarray(np.broadcast_to(center, xyz.shape), jnp.float32),
-        jnp.asarray(dirs, jnp.float32),
-        max_leaf=max_leaf,
-    )
-    t = np.array(t)
-    hit = np.array(hit)
+    from upsp_tpu import native as _native
+
+    if flat_bvh is not None and _native.available():
+        t, prim, hit = _native.bvh_intersect(
+            flat_bvh,
+            np.broadcast_to(center, xyz.shape).astype(np.float32),
+            dirs.astype(np.float32),
+        )
+    else:
+        t, prim, hit = bvh_intersect(
+            bvh_dev,
+            jnp.asarray(np.broadcast_to(center, xyz.shape), jnp.float32),
+            jnp.asarray(dirs, jnp.float32),
+            max_leaf=max_leaf,
+        )
+        t = np.array(t)
+        hit = np.array(hit)
     occluded = hit & (t < dist - 1e-3)
     # normal at hit point: nearest node to the hit position (misses keep the
     # target's own position so the kd query stays in range; they're culled by
@@ -168,6 +179,7 @@ def build_patcher_for_camera(
     image_hw: Tuple[int, int],
     bit_depth: int = 12,
     max_leaf: int = 4,
+    flat_bvh: Optional[FlatBVH] = None,
 ) -> Optional[PatchOperator]:
     """InitializeImagePatches parity: visible targets+fiducials -> clusters ->
     boundary threshold -> composed patch operator."""
@@ -179,7 +191,7 @@ def build_patcher_for_camera(
     # patching visibility uses a slightly wider oblique threshold
     oblique = min(cfg.oblique_angle + 5.0, 90.0)
     vis = visible_targets(all_t, params, bvh_dev, model, oblique, image_hw,
-                          max_leaf=max_leaf)
+                          max_leaf=max_leaf, flat_bvh=flat_bvh)
     if not vis:
         return None
     diams = target_image_diameters(vis, params, model, image_hw)
@@ -235,17 +247,30 @@ def run_phase0(
             dtype=jnp.float32,
         )
         cam_params.append(params)
-        raw_projs.append(
-            build_node_projection(
-                params, bvh_dev, tris_dev, verts_dev, norms_dev, datanode_dev,
-                cfg.oblique_angle, H, W, max_leaf=max_leaf,
+        from upsp_tpu import native as _native
+
+        if _native.available():
+            # phase-0 visibility rays walk the BVH in native code (the
+            # vmapped while_loop traversal compiles poorly on TPU)
+            raw_projs.append(
+                build_node_projection_host(
+                    params, bvh, model.triangles, model.vertices,
+                    model.normals, model.is_datanode,
+                    cfg.oblique_angle, H, W,
+                )
             )
-        )
+        else:
+            raw_projs.append(
+                build_node_projection(
+                    params, bvh_dev, tris_dev, verts_dev, norms_dev,
+                    datanode_dev, cfg.oblique_angle, H, W, max_leaf=max_leaf,
+                )
+            )
         if cfg.target_patcher == "polynomial" and cam.targets:
             patch_ops.append(
                 build_patcher_for_camera(
                     cfg, params, bvh_dev, model, first_frames[c], cam.targets,
-                    image_hw, bit_depths[c], max_leaf=max_leaf,
+                    image_hw, bit_depths[c], max_leaf=max_leaf, flat_bvh=bvh,
                 )
             )
         else:
