@@ -258,3 +258,31 @@ class TestResumeAndDeterminism:
             np.testing.assert_array_equal(
                 read_vv(str(tmp_path / "out" / n)), v
             )
+
+    def test_streaming_matches_in_memory(self, tmp_path):
+        """Out-of-core streaming run == in-memory run (per-node outputs)."""
+        from upsp_tpu import native
+        from upsp_tpu.pipeline.run import run_datapoint, run_datapoint_streaming
+        from upsp_tpu.io.flatfile import read_flat
+
+        cfg, frames = self._setup(tmp_path)
+        ref = run_datapoint(cfg, frames_array=frames)
+
+        import dataclasses as dc
+        cfg2 = dc.replace(cfg, out_dir=str(tmp_path / "out_stream"))
+        out = run_datapoint_streaming(cfg2, frames_array=frames,
+                                      frames_per_chunk=5, node_block=64)
+        np.testing.assert_allclose(
+            out.intensity_avg, ref.intensity_avg, rtol=1e-5, atol=1e-3,
+            equal_nan=True,
+        )
+        np.testing.assert_allclose(
+            np.array(out.phase2.rms), np.array(ref.phase2.rms),
+            rtol=1e-4, atol=1e-6, equal_nan=True,
+        )
+        # on-disk pressure_transpose matches the in-memory one
+        n, f = ref.intensity.shape[1], ref.intensity.shape[0]
+        disk = read_flat(str(tmp_path / "out_stream" / "pressure_transpose"))
+        mem = np.array(ref.phase2.pressure_transpose).ravel()
+        ok = np.isfinite(mem)
+        np.testing.assert_allclose(disk[ok], mem[ok], rtol=1e-4, atol=1e-6)

@@ -141,6 +141,169 @@ def run_datapoint(
     return _finish_from_intensity(cfg, state, intensity, write_outputs)
 
 
+def run_datapoint_streaming(
+    cfg: ProcessingConfig,
+    frames_per_chunk: int = 64,
+    node_block: int = 65536,
+    frames_array: Optional[np.ndarray] = None,
+) -> DatapointOutputs:
+    """Out-of-core datapoint processing for runs larger than host RAM.
+
+    The (frames x nodes) intensity never materializes in memory: phase-1
+    chunks stream to the ``intensity`` flat file through the native
+    write-behind queue while per-node sums accumulate; the native blocked
+    transpose produces ``intensity_transpose``; phase 2 then converts
+    node blocks read back from disk.  This is the reference's exact
+    disk-intermediate pattern (psp_process.cpp:524-563 five-buffer scheme,
+    upsp_matrix_transpose) with the compute on device.
+    """
+    from upsp_tpu import native
+    from upsp_tpu.io.flatfile import FlatFileSet, read_flat
+    from upsp_tpu.ops.polyfit import make_detrender
+    from upsp_tpu.pipeline.phase2 import (
+        compute_model_temperature,
+        load_steady_cp,
+        make_phase2_constants,
+        phase2_convert,
+    )
+
+    assert cfg.out_dir, "streaming mode requires an output directory"
+    if frames_array is not None:
+        n_frames = frames_array.shape[0]
+        first_frames = [frames_array[0, c] for c in range(frames_array.shape[1])]
+        bit_depths = [12] * len(first_frames)
+        readers = None
+    else:
+        readers, n_frames = open_videos(cfg)
+        first_frames = [r.read_frame(0) for r in readers]
+        bit_depths = [r.bit_depth for r in readers]
+
+    state = run_phase0(cfg, first_frames, bit_depths)
+    n_nodes = state.model.size
+    fn = make_frame_processor(state)
+    ffs = FlatFileSet(cfg.out_dir)
+
+    sum_i = np.zeros(n_nodes, np.float64)
+    sumsq_i = np.zeros(n_nodes, np.float64)
+    ratio0_src = None
+
+    writer = native.AsyncWriter(ffs.path("intensity"))
+    try:
+        pos = 0
+        if frames_array is not None:
+            chunk_iter = (
+                (s, frames_array[s : s + frames_per_chunk])
+                for s in range(0, n_frames, frames_per_chunk)
+            )
+        else:
+            prefetchers = [
+                iter(FramePrefetcher(r, n_frames, frames_per_chunk=frames_per_chunk))
+                for r in readers
+            ]
+
+            def gen():
+                s = 0
+                while s < n_frames:
+                    per_cam = [next(p) for p in prefetchers]
+                    stack = np.stack(per_cam, axis=1)
+                    yield s, stack
+                    s += stack.shape[0]
+
+            chunk_iter = gen()
+        for start, chunk in chunk_iter:
+            out = np.asarray(jax.lax.map(fn, jnp.asarray(chunk)))
+            writer.submit(start * n_nodes * 4, out.astype("<f4"))
+            with np.errstate(invalid="ignore"):
+                sum_i += np.nansum(out, axis=0)
+                sumsq_i += np.nansum(out.astype(np.float64) ** 2, axis=0)
+            if start == 0:
+                ratio0_src = out[0].copy()
+    finally:
+        writer.close()
+        if readers:
+            for r in readers:
+                r.close()
+
+    nan_mask = np.isnan(ratio0_src)
+    sol_avg = np.where(nan_mask, np.nan, sum_i / n_frames).astype(np.float32)
+    sol_rms = np.where(nan_mask, np.nan, np.sqrt(sumsq_i / n_frames)).astype(
+        np.float32
+    )
+    cov = np.asarray(proj_coverage(state.projections, *state.image_hw))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio0 = sol_avg / ratio0_src - 1.0
+
+    # frames-major -> node-major on disk (native blocked transpose)
+    native.transpose_f32(
+        ffs.path("intensity"), ffs.path("intensity_transpose"),
+        n_frames, n_nodes,
+    )
+
+    # phase 2 over node blocks
+    cond = read_wtd(cfg.sds)
+    cond.test_id, cond.run, cond.seq = cfg.test_id, cfg.run, cfg.sequence
+    pcal = PaintCalibration.read(cfg.paint_cal)
+    const = make_phase2_constants(pcal, cond)
+    det = make_detrender(n_frames, cfg.degree)
+    steady = load_steady_cp(cfg, n_nodes, state.model)
+    mtemp = compute_model_temperature(cfg, cond, n_nodes, state.model)
+
+    pwriter = native.AsyncWriter(ffs.path("pressure_transpose"))
+    rms_all = np.empty(n_nodes, np.float32)
+    avg_all = np.empty(n_nodes, np.float32)
+    gain_all = np.empty(n_nodes, np.float32)
+    try:
+        for n0 in range(0, n_nodes, node_block):
+            nw = min(node_block, n_nodes - n0)
+            block = read_flat(
+                ffs.path("intensity_transpose"), count=nw * n_frames,
+                offset_values=n0 * n_frames,
+            ).reshape(nw, n_frames)
+            out2 = phase2_convert(
+                jnp.asarray(block),
+                jnp.asarray(sol_avg[n0 : n0 + nw]),
+                jnp.asarray(cov[n0 : n0 + nw]),
+                jnp.asarray(steady[n0 : n0 + nw]),
+                jnp.asarray(mtemp[n0 : n0 + nw]),
+                const,
+                det,
+            )
+            pwriter.submit(
+                n0 * n_frames * 4,
+                np.asarray(out2.pressure_transpose).astype("<f4"),
+            )
+            rms_all[n0 : n0 + nw] = np.asarray(out2.rms)
+            avg_all[n0 : n0 + nw] = np.asarray(out2.avg)
+            gain_all[n0 : n0 + nw] = np.asarray(out2.gain)
+    finally:
+        pwriter.close()
+
+    ffs.write_standard_outputs(
+        state.model,
+        {
+            "intensity_avg": sol_avg,
+            "intensity_rms": sol_rms,
+            "intensity_ratio_0": ratio0,
+            "coverage": cov,
+        },
+        {"avg": avg_all, "rms": rms_all, "gain": gain_all},
+    )
+    from upsp_tpu.pipeline.phase2 import Phase2Outputs
+
+    return DatapointOutputs(
+        state=state,
+        intensity=None,
+        intensity_avg=sol_avg,
+        intensity_rms=sol_rms,
+        coverage=cov,
+        phase2=Phase2Outputs(
+            pressure_transpose=None, rms=jnp.asarray(rms_all),
+            avg=jnp.asarray(avg_all), gain=jnp.asarray(gain_all),
+        ),
+        n_frames=n_frames,
+    )
+
+
 def _finish_from_intensity(
     cfg: ProcessingConfig,
     state: Phase0State,
