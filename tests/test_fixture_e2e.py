@@ -112,3 +112,104 @@ class TestFixtureEndToEnd:
     def test_wall_time_reasonable(self, fixture_run):
         # 309k nodes, 609k tris, 1 MP, 8 frames, full phase 0+1+2 on 2 CPUs
         assert fixture_run["wall"] < 600, f"took {fixture_run['wall']:.0f}s"
+
+
+class TestTwoCameraFixture:
+    def test_multicam_bestview(self, ref_data, tmp_path):
+        """Two real cameras: BestView weighting must split the surface."""
+        import cv2 as _cv2
+
+        from upsp_tpu.pipeline.config import CameraInputs, ProcessingConfig
+        from upsp_tpu.pipeline.phase0 import run_phase0
+
+        imgs = []
+        for name in (
+            "CAM1_RUN8_CINE02_Y20000209H11294501.00001.png",
+            "CAM5_RUN8_CINE02_Y20220209H11291505.00001.png",
+        ):
+            img = _cv2.imread(
+                str(ref_data / "images" / name),
+                _cv2.IMREAD_GRAYSCALE + _cv2.IMREAD_ANYDEPTH,
+            ).astype(np.float32) * 16.0
+            imgs.append(img)
+
+        cfg = ProcessingConfig(
+            cameras=[
+                CameraInputs(
+                    number=1,
+                    calibration=str(
+                        ref_data / "camera-tunnel-calibration" / "camera01_35_6.json"
+                    ),
+                    targets=str(ref_data / "fml_tc3_volume.tgts"),
+                ),
+                CameraInputs(
+                    number=5,
+                    calibration=str(
+                        ref_data / "camera-tunnel-calibration" / "camera05_35_6.json"
+                    ),
+                    targets=str(ref_data / "fml_tc3_volume.tgts"),
+                ),
+            ],
+            grid=str(ref_data / "fml_tc3_volume.grid"),
+            grid_tol=0.388202,
+            overlap="best_view",
+            registration="none",
+            target_patcher="polynomial",
+        )
+        state = run_phase0(cfg, imgs)
+        v1 = np.array(state.projections[0].visible)
+        v2 = np.array(state.projections[1].visible)
+        w1 = np.array(state.projections[0].weight)
+        w2 = np.array(state.projections[1].weight)
+        both = v1 & v2
+        assert both.sum() > 1000  # cameras overlap on part of the surface
+        # BestView: overlap nodes belong to exactly one camera
+        np.testing.assert_allclose(w1[both] + w2[both], 1.0, atol=1e-6)
+        assert (w1[both] * w2[both] == 0).all()
+        assert 0.05 < w1[both].mean() < 0.95  # both cameras win somewhere
+        # union coverage beats either camera alone
+        skipped = np.array(state.skipped)
+        assert (~skipped).sum() >= max(v1.sum(), v2.sum())
+
+    def test_multicam_average_views(self, ref_data, tmp_path):
+        import dataclasses as dc
+
+        import cv2 as _cv2
+
+        from upsp_tpu.pipeline.config import CameraInputs, ProcessingConfig
+        from upsp_tpu.pipeline.phase0 import run_phase0
+
+        img = _cv2.imread(
+            str(ref_data / "images" / "CAM1_RUN8_CINE02_Y20000209H11294501.00001.png"),
+            _cv2.IMREAD_GRAYSCALE + _cv2.IMREAD_ANYDEPTH,
+        ).astype(np.float32) * 16.0
+        cfg = ProcessingConfig(
+            cameras=[
+                CameraInputs(
+                    number=1,
+                    calibration=str(
+                        ref_data / "camera-tunnel-calibration" / "camera01_35_6.json"
+                    ),
+                ),
+                CameraInputs(
+                    number=5,
+                    calibration=str(
+                        ref_data / "camera-tunnel-calibration" / "camera05_35_6.json"
+                    ),
+                ),
+            ],
+            grid=str(ref_data / "fml_tc3_volume.grid"),
+            grid_tol=0.388202,
+            overlap="average_view",
+            registration="none",
+            target_patcher="none",
+        )
+        state = run_phase0(cfg, [img, img.copy()])
+        v1 = np.array(state.projections[0].visible)
+        v2 = np.array(state.projections[1].visible)
+        w1 = np.array(state.projections[0].weight)
+        w2 = np.array(state.projections[1].weight)
+        both = v1 & v2
+        # AverageViews: weights sum to 1 with both cameras contributing
+        np.testing.assert_allclose(w1[both] + w2[both], 1.0, atol=1e-5)
+        assert (w1[both] > 0).all() and (w2[both] > 0).all()

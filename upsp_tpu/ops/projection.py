@@ -231,7 +231,7 @@ def adjust_projection_for_weights(
     if overlap == "best_view":
         best = jnp.argmax(angles, axis=0)  # first max wins ties (C small)
         w = (jnp.arange(C)[:, None] == best[None, :]).astype(jnp.float32)
-    elif overlap == "average_views":
+    elif overlap in ("average_views", "average_view"):
         pos = jnp.where(vis, angles, 0.0)
         s = jnp.maximum(pos.sum(axis=0), 1e-30)
         w = (pos / s).astype(jnp.float32)
