@@ -133,3 +133,85 @@ class TestCLIs:
                       "-output", str(out), "-count", "2")
         assert r.returncode == 0, r.stderr
         assert (tmp_path / "f.000.png").exists()
+
+
+class TestProcessCLI:
+    def _run(self, script, *args):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", script), *args],
+            capture_output=True, text=True, env=env, timeout=240,
+        )
+
+    def test_full_cli_with_real_video(self, tmp_path):
+        """upsp-process from an input deck with the real .mraw fixture."""
+        import json as _json
+
+        import numpy as np
+
+        from upsp_tpu.io.plot3d import write_p3d_grid
+        from upsp_tpu.pipeline.synthetic import make_plate_grid
+
+        mraw = "/root/reference/cpp/test/mraw/12bitMRAW.mraw"
+        if not os.path.exists(mraw):
+            pytest.skip("no mraw fixture")
+
+        grid_path = str(tmp_path / "plate.grid")
+        write_p3d_grid(grid_path, make_plate_grid(21, 17))
+        cam_path = str(tmp_path / "cam.json")
+        with open(cam_path, "w") as fh:
+            _json.dump(
+                {
+                    "uPSP_cameraMatrix": [[1500.0, 0, 0], [0, 1500.0, 0],
+                                          [0, 0, 1.0]],
+                    "distCoeffs": [[0, 0, 0, 0, 0]],
+                    "rmat": [[1, 0, 0], [0, -1, 0], [0, 0, -1]],
+                    "tvec": [-5.0, 4.0, 20.0],
+                },
+                fh,
+            )
+        wtd = tmp_path / "t.wtd"
+        wtd.write_text(
+            "RUN 1 1\n#\tMACH\tALPHA\tBETA\tPHI\tQ\tPS\tTTF\tSTRUTZ\n"
+            "0.80\t0.00\t0.00\t0.00\t144.00\t500.00\t80.00\t0.00\n"
+        )
+        paint = tmp_path / "paint.cal"
+        paint.write_text("a = 1.0\nb = 0\nc = 0\nd = 0\ne = 0\nf = 0\n")
+        out_dir = tmp_path / "out"
+        deck = tmp_path / "deck.inp"
+        deck.write_text(
+            "\n".join(
+                [
+                    "@general",
+                    "  test = clitest",
+                    "  run = 1",
+                    "  sequence = 1",
+                    "@vars",
+                    f"  root = {tmp_path}",
+                    "@all",
+                    f"  grid = $root/plate.grid",
+                    f"  sds = {wtd}",
+                    f"  paint_calibration = {paint}",
+                    "@camera",
+                    "  number = 1",
+                    f"  video = {mraw}",
+                    f"  calibration = {cam_path}",
+                    "@options",
+                    "  registration = none",
+                    "  target_patcher = none",
+                    "  filter = gaussian",
+                    "  filter_size = 3",
+                    "@output",
+                    f"  dir = {out_dir}",
+                    "  name = clitest",
+                    "",
+                ]
+            )
+        )
+        r = self._run("upsp-process", "-input_deck", str(deck))
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "processed 2 frames" in r.stdout
+        assert (out_dir / "pressure_transpose").exists()
+        assert (out_dir / "intensity_avg").exists()
+        # 2 frames x 357 nodes of float32
+        assert (out_dir / "intensity").stat().st_size == 2 * 357 * 4

@@ -48,6 +48,8 @@ def make_detrender(n_frames: int, degree: int = 6) -> PolyDetrender:
     the device-side matmuls O(1)-conditioned: fit = Q (Q^T y).  ``to_monomial``
     recovers reference-format monomial coefficients for save/restore.
     """
+    # cap the polynomial order at what the frame count can support
+    degree = min(degree, max(n_frames - 1, 0))
     f = np.arange(n_frames, dtype=np.float64) / n_frames
     A = np.stack([f**c for c in range(degree + 1)], axis=1)  # (F, C)
     Q, R = np.linalg.qr(A)
