@@ -27,6 +27,7 @@ class ProcessingConfig:
 
     # @general
     test_id: str = ""
+    tunnel: str = "ames_unitary"
     run: int = 0
     sequence: int = 0
     frames: int = 0  # number of frames to process (0 = all)
@@ -122,15 +123,21 @@ def read_input_deck(path: str) -> ProcessingConfig:
                     cfg.sequence = int(val)
                 elif key == "frames":
                     cfg.frames = int(val)
+                elif key == "tunnel":
+                    cfg.tunnel = val
                 else:
                     all_items[key] = val
             elif section == "all":
                 _assign_file(cfg, key, val)
+                if key == "targets":
+                    all_items["targets"] = val
             elif section == "camera" and current_cam is not None:
                 if key == "number":
                     current_cam.number = int(val)
-                elif key in ("cine", "video", "mraw"):
+                elif key in ("cine", "video", "mraw", "filename"):
                     current_cam.video = val
+                elif key == "aedc":
+                    pass  # AEDC cine variant flag (format autodetected here)
                 elif key in ("calibration", "cal"):
                     current_cam.calibration = val
                 elif key == "targets":
@@ -146,6 +153,15 @@ def read_input_deck(path: str) -> ProcessingConfig:
                     cfg.add_out_dir = val
                 elif key == "name":
                     cfg.out_name = val
+    # @all targets appears before the @camera blocks in the documented deck
+    # layout; propagate it to any camera that didn't set its own
+    if "targets" in all_items:
+        for cam in cfg.cameras:
+            if not cam.targets:
+                cam.targets = all_items["targets"]
+    # @options number_frames is the documented frame-count control
+    if cfg.number_frames and not cfg.frames:
+        cfg.frames = cfg.number_frames
     return cfg
 
 
@@ -166,10 +182,6 @@ def _assign_file(cfg: ProcessingConfig, key: str, val: str) -> None:
     attr = mapping.get(key)
     if attr:
         setattr(cfg, attr, val)
-    elif key == "targets":
-        for cam in cfg.cameras:
-            if not cam.targets:
-                cam.targets = val
 
 
 def _assign_option(cfg: ProcessingConfig, key: str, val: str) -> None:
