@@ -157,3 +157,91 @@ class TestSurfaceModel:
         m = fml_model
         idx = m.nearest_node(m.vertices[100] + 1e-4)
         assert np.linalg.norm(m.vertices[idx[0]] - m.vertices[100]) < 1e-2
+
+
+class TestCart3D:
+    def _mesh(self):
+        from upsp_tpu.io.cart3d import TriMesh
+
+        verts = np.array(
+            [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0], [0.5, 0.5, 1]],
+            np.float32,
+        )
+        tris = np.array([[0, 1, 4], [1, 2, 4], [2, 3, 4], [3, 0, 4]], np.int32)
+        comps = np.array([1, 1, 2, 2], np.int32)
+        return TriMesh(vertices=verts, triangles=tris, components=comps)
+
+    def test_ascii_tri_roundtrip(self, tmp_path):
+        from upsp_tpu.io.cart3d import read_tri, write_tri
+
+        mesh = self._mesh()
+        p = str(tmp_path / "m.tri")
+        write_tri(p, mesh)
+        back = read_tri(p)
+        np.testing.assert_allclose(back.vertices, mesh.vertices, rtol=1e-6)
+        np.testing.assert_array_equal(back.triangles, mesh.triangles)
+        np.testing.assert_array_equal(back.components, mesh.components)
+
+    def test_binary_triq_roundtrip(self, tmp_path, rng):
+        from upsp_tpu.io.cart3d import read_triq, write_triq
+
+        mesh = self._mesh()
+        cp = rng.normal(size=(5, 1)).astype(np.float32)
+        p = str(tmp_path / "m.triq")
+        write_triq(p, mesh, scalars=cp)
+        back = read_triq(p)
+        np.testing.assert_array_equal(back.vertices, mesh.vertices)
+        np.testing.assert_array_equal(back.triangles, mesh.triangles)
+        np.testing.assert_array_equal(back.components, mesh.components)
+        np.testing.assert_allclose(back.scalars, cp)
+
+    def test_unstructured_pipeline(self, tmp_path):
+        """Full phase0+1 on an unstructured (.tri) model."""
+        import json as _json
+
+        from upsp_tpu.io.cart3d import TriMesh, write_tri
+        from upsp_tpu.pipeline.config import CameraInputs, ProcessingConfig
+        from upsp_tpu.pipeline.run import run_datapoint
+
+        # flat triangulated plate z=0, normals +z
+        n = 9
+        xs, ys = np.meshgrid(np.linspace(0, 10, n), np.linspace(0, 8, n))
+        verts = np.stack(
+            [xs.ravel(), ys.ravel(), np.zeros(n * n)], axis=1
+        ).astype(np.float32)
+        tris = []
+        for j in range(n - 1):
+            for i in range(n - 1):
+                a = j * n + i
+                tris += [[a, a + 1, a + n + 1], [a, a + n + 1, a + n]]
+        mesh = TriMesh(
+            vertices=verts,
+            triangles=np.array(tris, np.int32),
+            components=np.ones(len(tris), np.int32),
+        )
+        tri_path = str(tmp_path / "plate.tri")
+        write_tri(tri_path, mesh)
+        cam_path = str(tmp_path / "cam.json")
+        with open(cam_path, "w") as fh:
+            _json.dump(
+                {
+                    "uPSP_cameraMatrix": [[200.0, 0, 0], [0, 200.0, 0], [0, 0, 1]],
+                    "distCoeffs": [[0, 0, 0, 0, 0]],
+                    "rmat": [[1, 0, 0], [0, -1, 0], [0, 0, -1]],
+                    "tvec": [-5.0, 4.0, 20.0],
+                },
+                fh,
+            )
+        cfg = ProcessingConfig(
+            cameras=[CameraInputs(number=1, calibration=cam_path)],
+            grid=tri_path,
+            registration="none",
+            target_patcher="none",
+        )
+        frames = np.full((3, 1, 96, 128), 2000.0, np.float32)
+        out = run_datapoint(cfg, frames_array=frames)
+        vis = np.array(out.state.projections[0].visible)
+        assert vis.sum() > 60  # most plate nodes project
+        np.testing.assert_allclose(
+            out.intensity[0][vis], 2000.0, rtol=1e-4
+        )

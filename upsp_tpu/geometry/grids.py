@@ -278,7 +278,11 @@ def from_tri_mesh(mesh: TriMesh) -> SurfaceModel:
 def load_model(path: str, tolerance: float = 0.0) -> SurfaceModel:
     """Load a surface model from a .grid/.g/.x (PLOT3D) or .tri/.triq file."""
     lower = path.lower()
-    if lower.endswith((".tri", ".triq", ".i.tri")):
+    if lower.endswith(".triq"):
+        from upsp_tpu.io.cart3d import read_triq
+
+        return from_tri_mesh(read_triq(path))
+    if lower.endswith((".tri", ".i.tri")):
         from upsp_tpu.io.cart3d import read_tri
 
         return from_tri_mesh(read_tri(path))

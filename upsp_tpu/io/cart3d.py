@@ -74,6 +74,60 @@ def read_tri(filename: str) -> TriMesh:
     )
 
 
+def read_triq(filename: str) -> TriMesh:
+    """Read a FORTRAN-unformatted binary ``.triq`` (reference layout).
+
+    Records: [n_node n_tri n_scalar] / interleaved xyz f32 / 1-based
+    connectivity i32 / per-tri components i32 / node-major scalars f32
+    (cart3d.cpp:read_triq record structure).
+    """
+    from upsp_tpu.io.plot3d import _read_record
+
+    with open(filename, "rb") as f:
+        hdr = _read_record(f, np.int32, 3)
+        n_node, n_tri, n_scalar = (int(v) for v in hdr)
+        xyz = _read_record(f, np.float32, 3 * n_node).reshape(n_node, 3)
+        tris = _read_record(f, np.int32, 3 * n_tri).reshape(n_tri, 3) - 1
+        comps = _read_record(f, np.int32, n_tri)
+        scalars = None
+        if n_scalar > 0:
+            data = _read_record(f, np.float32, n_scalar * n_node)
+            scalars = data.reshape(n_scalar, n_node).T.copy()
+    return TriMesh(
+        vertices=xyz.astype(np.float32),
+        triangles=tris.astype(np.int32),
+        components=comps.astype(np.int32),
+        scalars=scalars,
+    )
+
+
+def write_triq(filename: str, mesh: TriMesh, scalars: Optional[np.ndarray] = None):
+    """Write the reference-format binary .triq."""
+    from upsp_tpu.io.plot3d import _write_record
+
+    s = scalars if scalars is not None else mesh.scalars
+    if s is None:
+        s = np.zeros((mesh.size, 1), np.float32)
+    s = np.atleast_2d(np.asarray(s, np.float32))
+    if s.shape[0] == mesh.size:
+        s = s.T  # -> (n_scalar, n_node)
+    with open(filename, "wb") as f:
+        _write_record(
+            f, np.array([mesh.size, mesh.triangles.shape[0], s.shape[0]], np.int32)
+        )
+        _write_record(f, np.ascontiguousarray(mesh.vertices, np.float32).reshape(-1))
+        _write_record(
+            f, (np.asarray(mesh.triangles, np.int32) + 1).reshape(-1)
+        )
+        comps = (
+            mesh.components
+            if mesh.components is not None
+            else np.zeros(mesh.triangles.shape[0], np.int32)
+        )
+        _write_record(f, np.asarray(comps, np.int32))
+        _write_record(f, s.reshape(-1))
+
+
 def write_tri(filename: str, mesh: TriMesh) -> None:
     with open(filename, "w") as f:
         f.write(f"{mesh.size} {mesh.triangles.shape[0]}\n")
