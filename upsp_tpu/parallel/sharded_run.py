@@ -112,7 +112,9 @@ def run_sharded(
 
     const = make_phase2_constants(pcal, cond)
     det = make_detrender(int(frames_j.shape[0]), degree)
-    cov = proj_coverage(state.projections, *state.image_hw)
+    cov = np.asarray(proj_coverage(state.projections, *state.image_hw))[
+        state.model.superseded_by
+    ]
     if steady is None:
         steady = np.zeros(n_nodes, np.float32)
     if model_temp is None:

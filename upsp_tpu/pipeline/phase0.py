@@ -230,7 +230,11 @@ def run_phase0(
     bit_depths = bit_depths or [12] * len(first_frames)
 
     bvh = build_bvh(model.vertices, model.triangles, leaf_size=max_leaf)
-    bvh_dev = bvh_to_device(bvh)
+    from upsp_tpu import native as _native
+
+    # the device-resident BVH is only needed for the JAX traversal fallback
+    # (virtual-mesh tests); with the native walker it would waste HBM at scale
+    bvh_dev = None if _native.available() else bvh_to_device(bvh)
 
     cam_params: List[CameraParams] = []
     raw_projs: List[NodeProjection] = []

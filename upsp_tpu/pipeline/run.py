@@ -230,6 +230,8 @@ def run_datapoint_streaming(
         np.float32
     )
     cov = np.asarray(proj_coverage(state.projections, *state.image_hw))
+    # overlap adjustment: superseded nodes mirror their primary's coverage
+    cov = cov[state.model.superseded_by]
     with np.errstate(invalid="ignore", divide="ignore"):
         ratio0 = sol_avg / ratio0_src - 1.0
 
@@ -318,6 +320,8 @@ def _finish_from_intensity(
             np.float32
         )
     cov = np.asarray(proj_coverage(state.projections, *state.image_hw))
+    # overlap adjustment: superseded nodes mirror their primary's coverage
+    cov = cov[state.model.superseded_by]
     # frame-1 Iref/I sample (intensity_ratio_0, psp_process.cpp:1936-1943)
     with np.errstate(invalid="ignore", divide="ignore"):
         ratio0 = sol_avg / intensity[0] - 1.0
