@@ -215,3 +215,55 @@ class TestProcessCLI:
         assert (out_dir / "intensity_avg").exists()
         # 2 frames x 357 nodes of float32
         assert (out_dir / "intensity").stat().st_size == 2 * 357 * 4
+
+
+class TestExternalCalibrationCLI:
+    def _run(self, script, *args):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", script), *args],
+            capture_output=True, text=True, env=env, timeout=400,
+        )
+
+    def test_two_camera_joint_ba(self, tmp_path):
+        ref = "/root/reference/test/data"
+        if not os.path.exists(ref):
+            pytest.skip("no reference data")
+        # STRUTZ=0 wtd: the tunnel chain is ~identity, so the stored wind-on
+        # poses are their own initial guesses (the CLI mechanics under test)
+        wtd = tmp_path / "t.wtd"
+        wtd.write_text(
+            "RUN 8 2\n#\tMACH\tALPHA\tBETA\tPHI\tQ\tPS\tTTF\tSTRUTZ\n"
+            "0.85\t0.00\t0.00\t0.00\t350.00\t600.00\t85.00\t0.00\n"
+        )
+        r = self._run(
+            "upsp-external-calibration",
+            "--tgts", f"{ref}/fml_tc3_volume.tgts",
+            "--grd", f"{ref}/fml_tc3_volume.grid",
+            "--wtd", str(wtd),
+            "--cfg", f"{ref}/test_config.json",
+            "--cal_dir", f"{ref}/camera-tunnel-calibration",
+            "--img",
+            f"{ref}/images/CAM1_RUN8_CINE02_Y20000209H11294501.00001.png",
+            f"{ref}/images/CAM5_RUN8_CINE02_Y20220209H11291505.00001.png",
+            "--out_dir", str(tmp_path),
+            "--joint_ba",
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "joint BA over 2 cameras" in r.stdout
+        import json as _json
+
+        import numpy as np
+
+        for num in (1, 2):
+            path = tmp_path / f"cam{num:02d}-to-model.json"
+            assert path.exists(), r.stdout
+            cal = _json.loads(path.read_text())
+            rmat = np.array(cal["rmat"])
+            np.testing.assert_allclose(rmat @ rmat.T, np.eye(3), atol=1e-6)
+            # solved pose should stay near the wind-off chain for this fixture
+            orig = _json.loads(
+                open(f"{ref}/camera-tunnel-calibration/camera0{1 if num==1 else 5}_35_6.json").read()
+            )
+            t_orig = np.array(orig["tvec"]) + [0, 0, 10.0 * 0]  # strutz folded in chain
+            assert np.linalg.norm(np.array(cal["tvec"])) < 50
