@@ -267,3 +267,26 @@ class TestExternalCalibrationCLI:
             )
             t_orig = np.array(orig["tvec"]) + [0, 0, 10.0 * 0]  # strutz folded in chain
             assert np.linalg.norm(np.array(cal["tvec"])) < 50
+
+
+class TestVVCompare:
+    def _run(self, script, *args):
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", script), *args],
+            capture_output=True, text=True, env=env, timeout=60,
+        )
+
+    def test_match_and_mismatch(self, tmp_path):
+        a = tmp_path / "a"; b = tmp_path / "b"
+        a.mkdir(); b.mkdir()
+        v = np.arange(100, dtype="<f4")
+        v.tofile(a / "vv-int-avg.dat")
+        v.tofile(b / "vv-int-avg.dat")
+        r = self._run("upsp-vv-compare", str(a), str(b))
+        assert r.returncode == 0 and "OK" in r.stdout
+        (v + 0.001).astype("<f4").tofile(b / "vv-int-avg.dat")
+        r = self._run("upsp-vv-compare", str(a), str(b))
+        assert r.returncode == 1 and "MISMATCH" in r.stdout
+        r = self._run("upsp-vv-compare", str(a), str(b), "--atol", "0.01")
+        assert r.returncode == 0
