@@ -130,12 +130,17 @@ def ecc_affine(
     max_iters: int = 50,
     epsilon: float = 1e-3,
     gauss_size: int = 5,
+    warp_init: jax.Array | None = None,
 ):
     """Estimate the 2x3 affine warp aligning ``inp`` to ``ref`` by ECC maximization.
 
-    Returns (warp (2,3), rho) where rho is the final correlation coefficient.
+    ``warp_init`` warm-starts the iteration (e.g. the previous frame's warp —
+    model vibration is temporally coherent, so this typically converges in
+    1-3 iterations instead of 5-15; the converged solution is unchanged since
+    the objective and stopping rule are identical).  Returns (warp, rho).
     """
-    return _ecc_core(ref, inp, identity_warp(), max_iters=max_iters,
+    init = identity_warp() if warp_init is None else warp_init
+    return _ecc_core(ref, inp, init, max_iters=max_iters,
                      epsilon=epsilon, gauss_size=gauss_size)
 
 
