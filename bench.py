@@ -56,7 +56,7 @@ def bench_tpu() -> float:
     return N_FRAMES / dt
 
 
-def bench_reference_cpu(n_frames: int = 3) -> float:
+def bench_reference_cpu(n_frames: int = 2) -> float:
     """Single-core OpenCV pipeline equivalent (the reference's per-frame work)."""
     try:
         import cv2

@@ -140,10 +140,33 @@ def make_reference_frame(image_hw: Tuple[int, int], seed: int = 0) -> np.ndarray
     return np.clip(img, 0, 4095).astype(np.float32)
 
 
+def _subpixel_shift(img: np.ndarray, dx: float, dy: float) -> np.ndarray:
+    """Bilinear sub-pixel translation with edge replication (host-side)."""
+    H, W = img.shape
+    ix, fx = int(np.floor(dx)), dx - np.floor(dx)
+    iy, fy = int(np.floor(dy)), dy - np.floor(dy)
+    pad = max(abs(ix) + 1, abs(iy) + 1)
+    p = np.pad(img, pad, mode="edge")
+    y0 = pad + iy
+    x0 = pad + ix
+    a = p[y0 : y0 + H, x0 : x0 + W]
+    b = p[y0 : y0 + H, x0 + 1 : x0 + 1 + W]
+    c = p[y0 + 1 : y0 + 1 + H, x0 : x0 + W]
+    d = p[y0 + 1 : y0 + 1 + H, x0 + 1 : x0 + 1 + W]
+    return (
+        a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx + c * fy * (1 - fx)
+        + d * fy * fx
+    ).astype(np.float32)
+
+
 def make_frame_batch(
     state: Phase0State, n_frames: int, jitter_px: float = 0.6, seed: int = 1
 ) -> np.ndarray:
-    """(F, C, H, W) stack: the reference frame with small shifts + gain wobble."""
+    """(F, C, H, W) stack: reference frame with *sub-pixel* shifts + gain wobble.
+
+    True sub-pixel translations (bilinear resample) make the registration work
+    honest — integer rolls would let ECC converge in one step.
+    """
     H, W = state.image_hw
     rng = np.random.default_rng(seed)
     ref = np.array(state.ref_frames)  # (C, H, W)
@@ -151,8 +174,6 @@ def make_frame_batch(
     for f in range(n_frames):
         for c in range(ref.shape[0]):
             dx, dy = rng.normal(0, jitter_px, 2)
-            shifted = np.roll(
-                np.roll(ref[c], int(round(dy)), axis=0), int(round(dx)), axis=1
-            )
+            shifted = _subpixel_shift(ref[c], dx, dy)
             frames[f, c] = shifted * (1.0 + 0.01 * np.sin(2 * np.pi * f / 37))
     return frames
