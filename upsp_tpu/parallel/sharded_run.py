@@ -89,7 +89,12 @@ def run_sharded(
     steady: Optional[np.ndarray] = None,
     model_temp: Optional[np.ndarray] = None,
 ) -> ShardedOutputs:
-    """Convenience driver: shard, run the full plan, return device outputs."""
+    """Convenience driver: shard, run the full plan, return device outputs.
+
+    NOTE: builds (and compiles) a fresh pipeline closure per call; for repeated
+    runs over the same Phase0State, build once with make_sharded_pipeline and
+    reuse it.
+    """
     from upsp_tpu.io.wtd import model_temperature
     from upsp_tpu.ops.polyfit import make_detrender
     from upsp_tpu.parallel.mesh import make_mesh
