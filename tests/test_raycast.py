@@ -164,3 +164,39 @@ class TestOcclusion:
         assert not bool(
             bvh_any_hit_before(bvh, origins, dirs, jnp.array([0.5]), max_leaf=2)[0]
         )
+
+
+class TestVisibilityIncal:
+    def test_visible_and_inside_incal(self):
+        import jax.numpy as jnp
+
+        from upsp_tpu.camera.model import make_camera_params, project_points
+        from upsp_tpu.camera.visibility import VisibilityChecker
+        from upsp_tpu.geometry.grids import from_struct_grid
+        from upsp_tpu.pipeline.synthetic import make_plate_grid
+
+        model = from_struct_grid(make_plate_grid(21, 17))
+        vis = VisibilityChecker(model, 70.0)
+        K = np.array([[200.0, 0, 64], [0, 200.0, 48], [0, 0, 1]])
+        params = make_camera_params(
+            np.diag([1.0, -1.0, -1.0]), [-5.0, 4.0, 20.0], K, np.zeros(5)
+        )
+
+        def project(pts):
+            return np.array(project_points(params, jnp.asarray(pts)))
+
+        cam_center = np.array([5.0, 4.0, 20.0])
+        full = vis.is_visible(cam_center.reshape(3, 1), model.vertices, model.normals)
+        small = vis.is_visible_and_inside_incal(
+            cam_center.reshape(3, 1), model.vertices, model.normals,
+            project, (96, 128),
+        )
+        # the incal-restricted set is a subset, and nonempty for this view
+        assert set(small.tolist()) <= set(full.tolist())
+        assert len(small) > 0
+        # shrink to a tiny window -> fewer nodes
+        tiny = vis.is_visible_and_inside_incal(
+            cam_center.reshape(3, 1), model.vertices, model.normals,
+            project, (20, 20),
+        )
+        assert len(tiny) < len(small)

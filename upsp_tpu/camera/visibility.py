@@ -132,6 +132,30 @@ class VisibilityChecker:
             return visible, np.degrees(np.arccos(cosang))
         return visible
 
+    def is_visible_and_inside_incal(
+        self,
+        tvec_model_to_camera: np.ndarray,
+        nodes: np.ndarray,
+        normals: np.ndarray,
+        project_fn,
+        image_hw,
+        incal_bounds=None,
+    ) -> np.ndarray:
+        """Visible nodes whose projections also land in the trusted-distortion
+        region (visibility.py:497 role).
+
+        ``project_fn``: (K,3)->(K,2) pixel projection; ``incal_bounds``: an
+        AlphaShape from camera/internal.py (None -> image rectangle only).
+        """
+        from upsp_tpu.camera.internal import points_inside_incal
+
+        vis_idx = self.is_visible(tvec_model_to_camera, nodes, normals)
+        if vis_idx.size == 0:
+            return vis_idx
+        pts = np.asarray(project_fn(np.asarray(nodes)[vis_idx]))
+        ok = points_inside_incal(incal_bounds, pts, image_hw)
+        return vis_idx[ok]
+
     def angle_between(self, v1: np.ndarray, v2: np.ndarray) -> np.ndarray:
         """Angle in degrees between row-vector batches."""
         v1 = np.atleast_2d(v1)
