@@ -189,7 +189,6 @@ def run_datapoint_streaming(
 
     writer = native.AsyncWriter(ffs.path("intensity"))
     try:
-        pos = 0
         if frames_array is not None:
             chunk_iter = (
                 (s, frames_array[s : s + frames_per_chunk])
