@@ -39,3 +39,34 @@ class TestDeviceUnpack:
         buf = pack_12bpp(pix)
         frames = np.array(unpack_frames_12bpp(jnp.asarray(buf), H, W, F))
         np.testing.assert_array_equal(frames, pix.reshape(F, H, W))
+
+
+class TestPackedChunkProcessor:
+    def test_matches_host_decode_path(self):
+        """Fused unpack+phase1 == host decode then phase1, exactly."""
+        import jax.numpy as jnp
+
+        from upsp_tpu.io.video.util import pack_12bpp
+        from upsp_tpu.pipeline.phase1 import (
+            make_packed_chunk_processor,
+            process_frames,
+        )
+        from upsp_tpu.pipeline.synthetic import make_frame_batch, make_synthetic_state
+
+        state = make_synthetic_state(
+            n_cameras=2, image_hw=(64, 96), grid_shape=(24, 20),
+            n_patch_dots=3, registration="none",
+        )
+        frames = make_frame_batch(state, n_frames=3)
+        # quantize to the 12-bit camera domain so packing round-trips exactly
+        q = np.clip(np.round(frames), 0, 4095).astype(np.uint16)
+        packed = np.stack(
+            [
+                np.stack([pack_12bpp(q[f, c].reshape(-1)) for c in range(q.shape[1])])
+                for f in range(q.shape[0])
+            ]
+        )  # (F, C, B) uint8
+        fn = make_packed_chunk_processor(state, use_pallas=False)
+        got = np.asarray(fn(jnp.asarray(packed)))
+        want = np.asarray(process_frames(state, jnp.asarray(q)))
+        np.testing.assert_array_equal(got, want)

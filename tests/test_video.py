@@ -138,3 +138,79 @@ class TestCine:
             assert vid.bit_depth == 12
             for i in range(F):
                 np.testing.assert_array_equal(vid.read_frame(i), frames[i])
+
+
+class TestPackedReads:
+    """Raw-packed-byte path feeding the on-device unpack kernel."""
+
+    @pytest.mark.skipif(not MRAW_DIR.exists(), reason="mraw fixture unavailable")
+    def test_mraw_packed_matches_decoded(self):
+        with MrawReader(str(MRAW_DIR / "12bitMRAW.mraw")) as vid:
+            assert vid.supports_packed_reads
+            n = min(vid.frame_count, 3)
+            packed = vid.read_packed_frames(n)
+            assert packed.shape == (n, vid.packed_frame_nbytes)
+            assert packed.dtype == np.uint8
+            decoded = unpack_12bpp(packed.reshape(-1)).reshape(
+                n, vid.height, vid.width
+            )
+            np.testing.assert_array_equal(decoded, vid.read_frames(n))
+
+    @pytest.mark.skipif(not MRAW_DIR.exists(), reason="mraw fixture unavailable")
+    def test_packed_prefetcher(self):
+        with MrawReader(str(MRAW_DIR / "12bitMRAW.mraw")) as vid:
+            n = min(vid.frame_count, 4)
+            chunks = list(
+                FramePrefetcher(vid, n, frames_per_chunk=2, packed=True)
+            )
+            got = np.concatenate(chunks)
+            np.testing.assert_array_equal(got, vid.read_packed_frames(n))
+
+    def test_cine_packed_payload(self, tmp_path, rng):
+        """Packed (compression=1) cine: packed bytes match decoded frames."""
+        import struct
+
+        H, W, F = 8, 16, 2
+        frames = rng.integers(0, 4096, size=(F, H, W)).astype(np.uint16)
+        path = tmp_path / "packed.cine"
+        setup_size = 7240
+        off_image_header = 44
+        off_setup = off_image_header + 40
+        off_offsets = off_setup + setup_size
+        data_start = off_offsets + 8 * F
+        img_bytes = H * W * 3 // 2
+        with open(path, "wb") as f:
+            f.write(
+                struct.pack(
+                    "<HHHHiIiIIIIII",
+                    0x4943, 44, 0, 1, 0, F, 0, F,
+                    off_image_header, off_setup, off_offsets, 0, 0,
+                )
+            )
+            # biCompression=1 -> packed
+            f.write(struct.pack("<IiiHHIIiiII", 40, W, H, 1, 12, 1,
+                                img_bytes, 0, 0, 0, 0))
+            setup = bytearray(setup_size)
+            struct.pack_into("<H", setup, 142, setup_size)
+            struct.pack_into("<H", setup, 737, W)
+            struct.pack_into("<H", setup, 739, H)
+            struct.pack_into("<I", setup, 768, 10000)
+            struct.pack_into("<I", setup, 1568, 5000)
+            struct.pack_into("<I", setup, 896, 12)
+            f.write(setup)
+            offsets = [data_start + i * (8 + img_bytes) for i in range(F)]
+            f.write(struct.pack(f"<{F}q", *offsets))
+            for i in range(F):
+                f.write(struct.pack("<I", 8))
+                f.write(struct.pack("<I", img_bytes))
+                f.write(pack_12bpp(frames[i].reshape(-1)).tobytes())
+
+        from upsp_tpu.io.video import CineReader
+
+        with CineReader(str(path)) as vid:
+            assert vid.supports_packed_reads
+            for i in range(F):
+                np.testing.assert_array_equal(vid.read_frame(i), frames[i])
+            packed = vid.read_packed_frames(F)
+            decoded = unpack_12bpp(packed.reshape(-1)).reshape(F, H, W)
+            np.testing.assert_array_equal(decoded, frames)

@@ -99,6 +99,34 @@ class VideoReader(abc.ABC):
             n = min(frames_per_chunk, start + nframes - s)
             yield self.read_frames(n, start=s)
 
+    # -- packed (device-unpack) path -----------------------------------------
+
+    @property
+    def supports_packed_reads(self) -> bool:
+        """True when frames can be served as raw 12-bit-packed byte rows for
+        on-device unpacking (ops/pallas_unpack.py) — 25% less host->device
+        traffic than pre-unpacked uint16."""
+        return False
+
+    @property
+    def packed_frame_nbytes(self) -> int:
+        """Bytes per frame in the packed representation (12 bpp)."""
+        return self.height * self.width * 3 // 2
+
+    def read_packed_frames(self, nframes: int, start: int = 0) -> np.ndarray:
+        """Raw packed bytes, shape (nframes, packed_frame_nbytes) uint8."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support packed reads"
+        )
+
+    def iter_chunks_packed(
+        self, nframes: int, start: int = 0, frames_per_chunk: int = 64
+    ) -> Iterator[np.ndarray]:
+        self._validate_index(start + nframes - 1)
+        for s in range(start, start + nframes, frames_per_chunk):
+            n = min(frames_per_chunk, start + nframes - s)
+            yield self.read_packed_frames(n, start=s)
+
 
 class FramePrefetcher:
     """Background-thread chunk decoder feeding a bounded queue.
@@ -115,20 +143,25 @@ class FramePrefetcher:
         start: int = 0,
         frames_per_chunk: int = 64,
         max_queued_chunks: int = 4,
+        packed: bool = False,
     ):
         self.reader = reader
         self.nframes = nframes
         self.start = start
         self.frames_per_chunk = frames_per_chunk
+        self.packed = packed
         self._q: queue.Queue = queue.Queue(maxsize=max_queued_chunks)
         self._thread: Optional[threading.Thread] = None
         self._error: Optional[BaseException] = None
 
     def _produce(self):
         try:
-            for chunk in self.reader.iter_chunks(
-                self.nframes, self.start, self.frames_per_chunk
-            ):
+            it = (
+                self.reader.iter_chunks_packed
+                if self.packed
+                else self.reader.iter_chunks
+            )
+            for chunk in it(self.nframes, self.start, self.frames_per_chunk):
                 self._q.put(chunk.copy())
         except BaseException as e:  # surfaced on the consumer side
             self._error = e

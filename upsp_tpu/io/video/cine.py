@@ -120,6 +120,24 @@ class CineReader(VideoReader):
     def _packed(self):
         return self._bi_compression != 0
 
+    @property
+    def supports_packed_reads(self):
+        # 12-bit packed payloads can unpack on device; 10-bit needs the
+        # companding LUT (host-side for now), linear frames aren't packed
+        return self._packed and self._real_bpp == 12
+
+    def read_packed_frames(self, nframes: int, start: int = 0) -> np.ndarray:
+        self._validate_index(start + nframes - 1)
+        bpf = self.packed_frame_nbytes
+        out = np.empty((nframes, bpf), np.uint8)
+        for i in range(nframes):
+            self.fd.seek(int(self._img_offsets[start + i]))
+            annot_size = struct.unpack("<I", self.fd.read(4))[0]
+            self.fd.seek(annot_size - 8, 1)
+            self.fd.seek(4, 1)  # img_size field
+            out[i] = np.frombuffer(self.fd.read(bpf), np.uint8)
+        return out
+
     def read_frame(self, idx: int) -> np.ndarray:
         self._validate_index(idx)
         self.fd.seek(int(self._img_offsets[idx]))

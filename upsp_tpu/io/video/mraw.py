@@ -77,6 +77,18 @@ class MrawReader(VideoReader):
     def frame_count(self):
         return int(self.cih_info["Total Frame"])
 
+    @property
+    def supports_packed_reads(self):
+        # headerless contiguous 12-bit packed data: packed rows are one read
+        return self.bit_depth == 12
+
+    def read_packed_frames(self, nframes: int, start: int = 0) -> np.ndarray:
+        self._validate_index(start + nframes - 1)
+        bpf = self.packed_frame_nbytes
+        self.fd.seek(start * bpf)
+        buf = self.fd.read(nframes * bpf)
+        return np.frombuffer(buf, np.uint8).reshape(nframes, bpf)
+
     def read_frame(self, idx: int) -> np.ndarray:
         self._validate_index(idx)
         npix = self.width * self.height

@@ -64,6 +64,7 @@ def run_datapoint(
     frames_array: Optional[np.ndarray] = None,
     write_outputs: bool = True,
     resume: bool = False,
+    device_unpack: str = "auto",
 ) -> DatapointOutputs:
     """Process one datapoint end to end.
 
@@ -72,6 +73,10 @@ def run_datapoint(
     file in ``cfg.out_dir`` and skips phase 1 — the reference's restartability
     pattern of on-disk intermediates (SURVEY.md section 5: intensity flat
     files make the pipeline resumable per stage).
+    ``device_unpack``: "auto"/True ships raw 12-bit-packed bytes to the device
+    and unpacks there (25% less host->device traffic; ops/pallas_unpack.py);
+    "auto" engages whenever every camera's format supports packed reads.
+    False always decodes on the host.
     """
     # ---- open video, grab first frames -------------------------------------
     if frames_array is not None:
@@ -108,7 +113,18 @@ def run_datapoint(
             return _finish_from_intensity(cfg, state, intensity, write_outputs)
         log.info("resume requested but no consistent intensity file; running")
 
-    fn = make_frame_processor(state)
+    use_packed = (
+        frames_array is None
+        and device_unpack in ("auto", True)
+        and all(r.supports_packed_reads for r in readers)
+    )
+    if use_packed:
+        from upsp_tpu.pipeline.phase1 import make_packed_chunk_processor
+
+        fn = make_packed_chunk_processor(state)
+        log.info("phase1: on-device packed-byte ingest enabled")
+    else:
+        fn = make_frame_processor(state)
     intensity = np.empty((n_frames, n_nodes), np.float32)
 
     def chunks():
@@ -117,19 +133,26 @@ def run_datapoint(
                 yield s, frames_array[s : s + frames_per_chunk]
         else:
             prefetchers = [
-                iter(FramePrefetcher(r, n_frames, frames_per_chunk=frames_per_chunk))
+                iter(
+                    FramePrefetcher(
+                        r,
+                        n_frames,
+                        frames_per_chunk=frames_per_chunk,
+                        packed=use_packed,
+                    )
+                )
                 for r in readers
             ]
             s = 0
             while s < n_frames:
                 per_cam = [next(p) for p in prefetchers]
-                stack = np.stack(per_cam, axis=1)  # (chunk, C, H, W)
+                stack = np.stack(per_cam, axis=1)  # (chunk, C, H, W) | (chunk, C, B)
                 yield s, stack
                 s += stack.shape[0]
 
     for start, chunk in chunks():
         batch = jnp.asarray(chunk)
-        out = jax.lax.map(fn, batch)
+        out = fn(batch) if use_packed else jax.lax.map(fn, batch)
         intensity[start : start + chunk.shape[0]] = np.asarray(out)
         if start % (frames_per_chunk * 8) == 0:
             log.info("phase1: processed frame %d / %d", start, n_frames)
@@ -146,6 +169,7 @@ def run_datapoint_streaming(
     frames_per_chunk: int = 64,
     node_block: int = 65536,
     frames_array: Optional[np.ndarray] = None,
+    device_unpack: str = "auto",
 ) -> DatapointOutputs:
     """Out-of-core datapoint processing for runs larger than host RAM.
 
@@ -180,6 +204,15 @@ def run_datapoint_streaming(
 
     state = run_phase0(cfg, first_frames, bit_depths)
     n_nodes = state.model.size
+    use_packed = (
+        frames_array is None
+        and device_unpack in ("auto", True)
+        and all(r.supports_packed_reads for r in readers)
+    )
+    if use_packed:
+        from upsp_tpu.pipeline.phase1 import make_packed_chunk_processor
+
+        packed_fn = make_packed_chunk_processor(state)
     fn = make_frame_processor(state)
     ffs = FlatFileSet(cfg.out_dir)
 
@@ -196,7 +229,14 @@ def run_datapoint_streaming(
             )
         else:
             prefetchers = [
-                iter(FramePrefetcher(r, n_frames, frames_per_chunk=frames_per_chunk))
+                iter(
+                    FramePrefetcher(
+                        r,
+                        n_frames,
+                        frames_per_chunk=frames_per_chunk,
+                        packed=use_packed,
+                    )
+                )
                 for r in readers
             ]
 
@@ -210,7 +250,10 @@ def run_datapoint_streaming(
 
             chunk_iter = gen()
         for start, chunk in chunk_iter:
-            out = np.asarray(jax.lax.map(fn, jnp.asarray(chunk)))
+            batch = jnp.asarray(chunk)
+            out = np.asarray(
+                packed_fn(batch) if use_packed else jax.lax.map(fn, batch)
+            )
             writer.submit(start * n_nodes * 4, out.astype("<f4"))
             with np.errstate(invalid="ignore"):
                 sum_i += np.nansum(out, axis=0)
