@@ -286,3 +286,54 @@ class TestResumeAndDeterminism:
         mem = np.array(ref.phase2.pressure_transpose).ravel()
         ok = np.isfinite(mem)
         np.testing.assert_allclose(disk[ok], mem[ok], rtol=1e-4, atol=1e-6)
+
+
+class TestRegistrationTelemetry:
+    def test_run_writes_registration_file(self, tmp_path):
+        """run_datapoint(registration_telemetry=True) -> flat file + sane values."""
+        import jax.numpy as jnp  # noqa: F401
+
+        from upsp_tpu.io.flatfile import read_flat
+        from upsp_tpu.io.plot3d import write_p3d_grid
+        from upsp_tpu.pipeline.config import CameraInputs, ProcessingConfig
+        from upsp_tpu.pipeline.run import run_datapoint
+        from upsp_tpu.pipeline.synthetic import make_plate_grid
+
+        grid = make_plate_grid(21, 17)
+        grid_path = str(tmp_path / "plate.grid")
+        write_p3d_grid(grid_path, grid)
+        cam_path = str(tmp_path / "cam.json")
+        with open(cam_path, "w") as fh:
+            json.dump(
+                {
+                    "uPSP_cameraMatrix": [[200.0, 0, 0], [0, 200.0, 0], [0, 0, 1]],
+                    "distCoeffs": [[0, 0, 0, 0, 0]],
+                    "rmat": [[1, 0, 0], [0, -1, 0], [0, 0, -1]],
+                    "tvec": [-5.0, 4.0, 20.0],
+                },
+                fh,
+            )
+        cfg = ProcessingConfig(
+            test_id="synth", run=1, sequence=1,
+            cameras=[CameraInputs(number=1, calibration=cam_path)],
+            grid=grid_path,
+            registration="pixel",
+            target_patcher="none",
+            out_dir=str(tmp_path / "out"),
+        )
+        H, W, F = 96, 128, 4
+        yy, xx = np.mgrid[0:H, 0:W]
+        base = (
+            2000
+            + 400 * np.exp(-((xx - 60) ** 2 + (yy - 50) ** 2) / 400.0)
+            + 100 * np.sin(xx / 5.0) * np.cos(yy / 7.0)
+        ).astype(np.float32)
+        frames = np.stack(
+            [np.roll(base, (f % 2, -(f % 2)), axis=(0, 1))[None] for f in range(F)]
+        )
+        out = run_datapoint(cfg, frames_array=frames, registration_telemetry=True)
+        assert out.n_frames == F
+        tele = read_flat(str(tmp_path / "out" / "registration")).reshape(F, 1, 4)
+        assert (tele[:, :, 0] > 0.8).all()
+        assert (tele[:, :, 1] >= 1).all()
+        assert np.abs(tele[1:, :, 2:]).max() > 0.3  # rolled frames -> shift seen

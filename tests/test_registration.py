@@ -126,3 +126,48 @@ class TestPyramid:
         assert abs(warp[0, 2] + 8.0) < 0.6
         assert abs(warp[1, 2] - 6.0) < 0.6
         assert float(rho) > 0.9
+
+
+class TestTelemetry:
+    def test_return_iters(self, rng):
+        import jax.numpy as jnp
+
+        from upsp_tpu.ops.registration import ecc_affine, warp_affine
+
+        H, W = 64, 80
+        yy, xx = np.mgrid[0:H, 0:W]
+        ref = (
+            1000
+            + 500 * np.exp(-((xx - 40) ** 2 + (yy - 30) ** 2) / 150.0)
+            + 200 * np.sin(xx / 6.0)
+        ).astype(np.float32)
+        true = jnp.array([[1.0, 0.0, 0.8], [0.0, 1.0, -0.5]], jnp.float32)
+        inp = warp_affine(jnp.asarray(ref), true)
+        warp, rho, iters = ecc_affine(jnp.asarray(ref), inp, return_iters=True)
+        assert 1 <= int(iters) <= 50
+        assert float(rho) > 0.95
+        # default signature unchanged
+        warp2, rho2 = ecc_affine(jnp.asarray(ref), inp)
+        np.testing.assert_array_equal(np.asarray(warp), np.asarray(warp2))
+
+    def test_process_frame_telemetry(self):
+        import jax.numpy as jnp
+
+        from upsp_tpu.pipeline.phase1 import make_frame_processor
+        from upsp_tpu.pipeline.synthetic import make_frame_batch, make_synthetic_state
+
+        state = make_synthetic_state(
+            n_cameras=2, image_hw=(64, 96), grid_shape=(24, 20),
+            n_patch_dots=3, registration="pixel",
+        )
+        frames = make_frame_batch(state, n_frames=2)
+        fn = make_frame_processor(state, with_telemetry=True)
+        sol, tele = fn(jnp.asarray(frames[1]))
+        assert tele.shape == (2, 4)
+        tele = np.asarray(tele)
+        assert (tele[:, 0] > 0.9).all()        # rho
+        assert (tele[:, 1] >= 1).all()          # iterations
+        assert np.abs(tele[:, 2:]).max() < 5.0  # sub-5px jitter recovered
+        # intensity identical to the non-telemetry path
+        base = make_frame_processor(state)(jnp.asarray(frames[1]))
+        np.testing.assert_array_equal(np.asarray(sol), np.asarray(base))

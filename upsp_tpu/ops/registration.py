@@ -115,7 +115,7 @@ def ecc_affine_pyramid(
             r = downsample2(r)
             i = downsample2(i)
         warp_lv = scale_warp(warp, 0.5**lev)
-        warp_lv, rho = _ecc_core(
+        warp_lv, rho, _ = _ecc_core(
             r, i, warp_lv, max_iters=max_iters, epsilon=epsilon,
             gauss_size=gauss_size,
         )
@@ -123,7 +123,9 @@ def ecc_affine_pyramid(
     return warp, rho
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "gauss_size"))
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "gauss_size", "return_iters")
+)
 def ecc_affine(
     ref: jax.Array,
     inp: jax.Array,
@@ -131,17 +133,21 @@ def ecc_affine(
     epsilon: float = 1e-3,
     gauss_size: int = 5,
     warp_init: jax.Array | None = None,
+    return_iters: bool = False,
 ):
     """Estimate the 2x3 affine warp aligning ``inp`` to ``ref`` by ECC maximization.
 
     ``warp_init`` warm-starts the iteration (e.g. the previous frame's warp —
     model vibration is temporally coherent, so this typically converges in
     1-3 iterations instead of 5-15; the converged solution is unchanged since
-    the objective and stopping rule are identical).  Returns (warp, rho).
+    the objective and stopping rule are identical).  Returns (warp, rho), or
+    (warp, rho, iters) with ``return_iters`` — the per-sequence telemetry that
+    drives epsilon/iteration-budget tuning in production runs.
     """
     init = identity_warp() if warp_init is None else warp_init
-    return _ecc_core(ref, inp, init, max_iters=max_iters,
-                     epsilon=epsilon, gauss_size=gauss_size)
+    out = _ecc_core(ref, inp, init, max_iters=max_iters,
+                    epsilon=epsilon, gauss_size=gauss_size)
+    return out if return_iters else out[:2]
 
 
 def _ecc_core(
@@ -235,8 +241,8 @@ def _ecc_core(
         jnp.asarray(jnp.inf, dtype),
         0,
     )
-    warp, rho, _, _ = jax.lax.while_loop(cond, body, init)
-    return warp, rho
+    warp, rho, _, iters = jax.lax.while_loop(cond, body, init)
+    return warp, rho, iters
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "interpolation"))

@@ -48,7 +48,7 @@ def phase1_params(state: Phase0State) -> Phase1Params:
 @functools.partial(
     jax.jit,
     static_argnames=("registration", "patch", "filter_type", "filter_size",
-                     "interpolation", "adjust_overlap"),
+                     "interpolation", "adjust_overlap", "with_telemetry"),
 )
 def process_frame(
     frames: jax.Array,  # (C, H, W) raw camera frames (uint16 or float)
@@ -59,19 +59,34 @@ def process_frame(
     filter_size: int = 3,
     interpolation: str = "linear",
     adjust_overlap: bool = True,
-) -> jax.Array:
-    """One multi-camera frame -> per-node intensity (N,)."""
+    with_telemetry: bool = False,
+):
+    """One multi-camera frame -> per-node intensity (N,).
+
+    ``with_telemetry`` additionally returns a (C, 4) registration-quality
+    record per camera: [rho, iterations, warp_tx, warp_ty] — the on-device
+    analog of the reference's per-frame registration logging, at zero extra
+    compute (all four values fall out of the ECC solve).
+    """
     n_cams = frames.shape[0]
     sol = None
+    telemetry = []
     for c in range(n_cams):
         img = fix_hot_pixels(frames[c])
         img = img.astype(jnp.float32)
         if registration == "pixel":
-            warp, _ = ecc_affine(params.ref_frames[c], img)
+            warp, rho, iters = ecc_affine(
+                params.ref_frames[c], img, return_iters=True
+            )
+            telemetry.append(
+                jnp.stack([rho, iters.astype(jnp.float32), warp[0, 2], warp[1, 2]])
+            )
             if interpolation == "nearest":
                 img = warp_affine(img, warp, interpolation="nearest")
             else:
                 img = warp_affine_mxu(img, warp)
+        else:
+            telemetry.append(jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32))
         if patch and params.patch_ops[c] is not None:
             img = apply_patches(img, params.patch_ops[c])
         img = apply_filter(img, filter_type, filter_size)
@@ -80,15 +95,20 @@ def process_frame(
     sol = jnp.where(params.skipped, jnp.nan, sol)
     if adjust_overlap:
         sol = sol[params.superseded_by]
+    if with_telemetry:
+        return sol, jnp.stack(telemetry)
     return sol
 
 
-def make_frame_processor(state: Phase0State):
-    """Bind the phase-0 state + config into a frames->(N,) callable."""
+def make_frame_processor(state: Phase0State, with_telemetry: bool = False):
+    """Bind the phase-0 state + config into a frames->(N,) callable.
+
+    ``with_telemetry``: fn returns (intensity, (C, 4) registration record).
+    """
     p = phase1_params(state)
     cfg = state.config
 
-    def fn(frames: jax.Array) -> jax.Array:
+    def fn(frames: jax.Array):
         return process_frame(
             frames,
             p,
@@ -97,12 +117,15 @@ def make_frame_processor(state: Phase0State):
             filter_type=cfg.filter,
             filter_size=cfg.filter_size,
             interpolation=cfg.pixel_interpolation,
+            with_telemetry=with_telemetry,
         )
 
     return fn
 
 
-def make_packed_chunk_processor(state: Phase0State, use_pallas: bool = None):
+def make_packed_chunk_processor(
+    state: Phase0State, use_pallas: bool = None, with_telemetry: bool = False
+):
     """Fused ingest: 12-bit-packed bytes unpack *on device* then run phase 1.
 
     Takes (F, C, B) uint8 packed chunks (B = 1.5 * H * W bytes/frame) and
@@ -119,11 +142,11 @@ def make_packed_chunk_processor(state: Phase0State, use_pallas: bool = None):
 
     if use_pallas is None:
         use_pallas = _jax.default_backend() == "tpu"
-    fn = make_frame_processor(state)
+    fn = make_frame_processor(state, with_telemetry=with_telemetry)
     h, w = state.image_hw
 
     @_jax.jit
-    def process(packed: jax.Array) -> jax.Array:  # (F, C, B) uint8
+    def process(packed: jax.Array):  # (F, C, B) uint8
         n_f, n_c = packed.shape[0], packed.shape[1]
         flat = packed.reshape(-1)
         pix = unpack_12bpp_device(flat) if use_pallas else unpack_12bpp_jnp(flat)

@@ -65,6 +65,7 @@ def run_datapoint(
     write_outputs: bool = True,
     resume: bool = False,
     device_unpack: str = "auto",
+    registration_telemetry: bool = False,
 ) -> DatapointOutputs:
     """Process one datapoint end to end.
 
@@ -77,6 +78,10 @@ def run_datapoint(
     and unpacks there (25% less host->device traffic; ops/pallas_unpack.py);
     "auto" engages whenever every camera's format supports packed reads.
     False always decodes on the host.
+    ``registration_telemetry=True`` records per-frame/per-camera ECC quality
+    [rho, iterations, warp_tx, warp_ty] (free — all four fall out of the
+    solve), writes it to the ``registration`` flat file (F*C*4 f32), and logs
+    a convergence summary for epsilon/iteration-budget tuning.
     """
     # ---- open video, grab first frames -------------------------------------
     if frames_array is not None:
@@ -121,11 +126,19 @@ def run_datapoint(
     if use_packed:
         from upsp_tpu.pipeline.phase1 import make_packed_chunk_processor
 
-        fn = make_packed_chunk_processor(state)
+        fn = make_packed_chunk_processor(
+            state, with_telemetry=registration_telemetry
+        )
         log.info("phase1: on-device packed-byte ingest enabled")
     else:
-        fn = make_frame_processor(state)
+        fn = make_frame_processor(state, with_telemetry=registration_telemetry)
     intensity = np.empty((n_frames, n_nodes), np.float32)
+    n_cams = len(cfg.cameras) if frames_array is None else frames_array.shape[1]
+    reg_telemetry = (
+        np.empty((n_frames, n_cams, 4), np.float32)
+        if registration_telemetry
+        else None
+    )
 
     def chunks():
         if frames_array is not None:
@@ -153,6 +166,9 @@ def run_datapoint(
     for start, chunk in chunks():
         batch = jnp.asarray(chunk)
         out = fn(batch) if use_packed else jax.lax.map(fn, batch)
+        if registration_telemetry:
+            out, tele = out
+            reg_telemetry[start : start + chunk.shape[0]] = np.asarray(tele)
         intensity[start : start + chunk.shape[0]] = np.asarray(out)
         if start % (frames_per_chunk * 8) == 0:
             log.info("phase1: processed frame %d / %d", start, n_frames)
@@ -160,6 +176,18 @@ def run_datapoint(
     if readers:
         for r in readers:
             r.close()
+
+    if registration_telemetry:
+        rho, iters = reg_telemetry[..., 0], reg_telemetry[..., 1]
+        log.info(
+            "registration: rho min/mean %.4f/%.4f, iters mean/max %.1f/%d, "
+            "|t| max %.2f px",
+            rho.min(), rho.mean(), iters.mean(), int(iters.max()),
+            np.abs(reg_telemetry[..., 2:]).max(),
+        )
+        if cfg.out_dir:
+            os.makedirs(cfg.out_dir, exist_ok=True)
+            FlatFileSet(cfg.out_dir).write("registration", reg_telemetry)
 
     return _finish_from_intensity(cfg, state, intensity, write_outputs)
 
