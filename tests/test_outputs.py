@@ -286,6 +286,15 @@ class TestResumeAndDeterminism:
         mem = np.array(ref.phase2.pressure_transpose).ravel()
         ok = np.isfinite(mem)
         np.testing.assert_allclose(disk[ok], mem[ok], rtol=1e-4, atol=1e-6)
+        # incremental HDF5 written per node block matches too
+        h5py = pytest.importorskip("h5py")
+        with h5py.File(str(tmp_path / "out_stream" / "output.h5"), "r") as fh:
+            h5frames = fh["frames"][...]
+            assert h5frames.shape == (n, f)
+            np.testing.assert_allclose(
+                h5frames.ravel()[ok], mem[ok], rtol=1e-4, atol=1e-6
+            )
+            assert "rms" in fh and "average" in fh and "coverage" in fh
 
 
 class TestRegistrationTelemetry:

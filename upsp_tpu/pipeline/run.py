@@ -198,6 +198,7 @@ def run_datapoint_streaming(
     node_block: int = 65536,
     frames_array: Optional[np.ndarray] = None,
     device_unpack: str = "auto",
+    write_hdf5: bool = True,
 ) -> DatapointOutputs:
     """Out-of-core datapoint processing for runs larger than host RAM.
 
@@ -208,6 +209,10 @@ def run_datapoint_streaming(
     node blocks read back from disk.  This is the reference's exact
     disk-intermediate pattern (psp_process.cpp:524-563 five-buffer scheme,
     upsp_matrix_transpose) with the compute on device.
+
+    ``write_hdf5``: also emit the ``.h5`` pressure-history file, incrementally
+    per node block — the (nodes, frames) dataset never materializes in RAM
+    (write_frames_block at a node offset; same layout as the in-memory path).
     """
     from upsp_tpu import native
     from upsp_tpu.io.flatfile import FlatFileSet, read_flat
@@ -320,6 +325,27 @@ def run_datapoint_streaming(
     steady = load_steady_cp(cfg, n_nodes, state.model)
     mtemp = compute_model_temperature(cfg, cond, n_nodes, state.model)
 
+    h5w = None
+    if write_hdf5:
+        try:
+            from upsp_tpu.io.hdf5io import PSPWriter
+
+            name = cfg.out_name or "output"
+            h5w = PSPWriter(
+                os.path.join(cfg.out_dir, f"{name}.h5"),
+                state.model,
+                n_frames=n_frames,
+                transposed=True,
+            )
+            h5w.write_grid(cfg.grid_units)
+            h5w.write_tunnel_conditions(cond)
+            h5w.write_camera_settings(
+                focal_lengths=[float(p.fx) for p in state.cam_params],
+                cam_nums=[c.number for c in cfg.cameras],
+            )
+        except ImportError:
+            log.warning("h5py unavailable; skipped HDF5 output")
+
     pwriter = native.AsyncWriter(ffs.path("pressure_transpose"))
     rms_all = np.empty(n_nodes, np.float32)
     avg_all = np.empty(n_nodes, np.float32)
@@ -340,15 +366,21 @@ def run_datapoint_streaming(
                 const,
                 det,
             )
-            pwriter.submit(
-                n0 * n_frames * 4,
-                np.asarray(out2.pressure_transpose).astype("<f4"),
-            )
+            press = np.asarray(out2.pressure_transpose)
+            pwriter.submit(n0 * n_frames * 4, press.astype("<f4"))
+            if h5w is not None:
+                h5w.write_frames_block(press, node_start=n0)
             rms_all[n0 : n0 + nw] = np.asarray(out2.rms)
             avg_all[n0 : n0 + nw] = np.asarray(out2.avg)
             gain_all[n0 : n0 + nw] = np.asarray(out2.gain)
+        if h5w is not None:
+            h5w.write_new_dataset("rms", rms_all, "delta Cp")
+            h5w.write_new_dataset("average", avg_all, "delta Cp")
+            h5w.write_new_dataset("coverage", cov)
     finally:
         pwriter.close()
+        if h5w is not None:
+            h5w.close()
 
     ffs.write_standard_outputs(
         state.model,
