@@ -67,3 +67,174 @@ class TestKuliteAnalysis:
         # integrated PSD (sum over bins) ~ variance / df
         df = psds["freq"][1] - psds["freq"][0]
         assert rms2["K01"] * df == pytest.approx(x.var(), rel=0.2)
+
+
+class TestKuliteSelection:
+    def test_selection_area_center_directions(self):
+        from upsp_tpu.processing.kulite_selection import selection_area_center
+
+        p0 = np.array([2.0, 3.0, 4.0])
+        d = 0.5
+        up = selection_area_center(p0, "up", d)
+        np.testing.assert_allclose(up, [1.5, 3.0, 4.0])
+        down = selection_area_center(p0, "down", d)
+        np.testing.assert_allclose(down, [2.5, 3.0, 4.0])
+        for side in ("port", "starboard"):
+            q = selection_area_center(p0, side, d)
+            # stays on the same circumference, same station
+            assert q[0] == p0[0]
+            np.testing.assert_allclose(np.hypot(q[1], q[2]), 5.0, rtol=1e-12)
+            # arc length ~= displacement for small angles
+            ang = np.arccos(np.dot(q[1:], p0[1:]) / 25.0)
+            np.testing.assert_allclose(ang * 5.0, d, rtol=1e-6)
+        # opposite sides
+        port = selection_area_center(p0, "port", d)
+        star = selection_area_center(p0, "starboard", d)
+        assert not np.allclose(port, star)
+        with pytest.raises(ValueError):
+            selection_area_center(p0, "sideways", d)
+
+    def _plate_model(self):
+        from upsp_tpu.geometry.grids import from_struct_grid
+        from upsp_tpu.pipeline.synthetic import make_plate_grid
+
+        return from_struct_grid(make_plate_grid(41, 33))
+
+    def test_neighborhood_search(self):
+        from upsp_tpu.processing.kulite_selection import KuliteNeighborhoodSearch
+
+        model = self._plate_model()
+        kul = {"K01": np.array([5.0, 4.0, 0.0])}
+        search = KuliteNeighborhoodSearch(model, kul)
+        res = search.query("K01", "up", 1.0, number_vertices=12)
+        sel = res["Selection Vertices"]
+        assert len(sel) == 12
+        assert len(set(sel)) == 12
+        # nearest vertex is at the kulite, selection is displaced forward (-X)
+        nn = model.vertices[res["Kulite Nearest Vertex"]]
+        np.testing.assert_allclose(nn[:2], [5.0, 4.0], atol=0.2)
+        centroid = model.vertices[sel].mean(axis=0)
+        assert centroid[0] < 4.5  # shifted toward -X by ~1
+        np.testing.assert_allclose(centroid[1], 4.0, atol=0.3)
+
+    def test_filter_duplicates(self):
+        from upsp_tpu.geometry.grids import SurfaceModel
+        from upsp_tpu.processing.kulite_selection import KuliteNeighborhoodSearch
+
+        # two clusters of coincident points + one loner
+        verts = np.array(
+            [[0, 0, 0], [0.001, 0, 0], [1, 0, 0], [1.0005, 0, 0], [3, 0, 0]],
+            np.float32,
+        )
+        n = len(verts)
+        model = SurfaceModel(
+            vertices=verts,
+            triangles=np.zeros((0, 3), np.int32),
+            normals=np.tile([0, 0, 1.0], (n, 1)).astype(np.float32),
+            components=np.zeros(n, np.int32),
+            is_datanode=np.ones(n, bool),
+            superseded_by=np.arange(n, dtype=np.int32),
+        )
+        search = KuliteNeighborhoodSearch(model, {})
+        kept = search.filter_duplicates([0, 1, 2, 3, 4], duplicate_vertex_tol=0.01)
+        assert kept == [0, 2, 4]
+
+    def test_selection_area_images(self, tmp_path):
+        pytest.importorskip("cv2")
+        from upsp_tpu.pipeline.diagnostics import write_phase0_diagnostics
+        from upsp_tpu.pipeline.synthetic import make_synthetic_state
+        from upsp_tpu.processing.kulite_selection import (
+            KuliteNeighborhoodSearch,
+            make_selection_area_images,
+        )
+
+        state = make_synthetic_state(
+            n_cameras=1, image_hw=(64, 96), grid_shape=(24, 20),
+            n_patch_dots=3, registration="none",
+        )
+        diag = tmp_path / "diag"
+        write_phase0_diagnostics(state, str(diag))
+        kul = {"K01": state.model.vertices[150]}
+        search = KuliteNeighborhoodSearch(state.model, kul)
+        res = search.query("K01", "up", 0.5, number_vertices=8)
+        recs = [
+            {
+                "Kulite Name": "K01",
+                "Kulite Nearest Vertex": res["Kulite Nearest Vertex"],
+                # string repr as stored in the comparison CSVs
+                "Selection Vertices": str(res["Selection Vertices"]),
+            }
+        ]
+        out = make_selection_area_images(recs, str(diag), str(tmp_path / "imgs"))
+        assert len(out) == 1
+        import cv2
+
+        img = cv2.imread(out[0])
+        base = cv2.imread(str(diag / "cam01-8bit-raw.png"))
+        assert img.shape[:2] == base.shape[:2]
+        # some pixels changed to the highlight color
+        assert (img != cv2.cvtColor(
+            cv2.cvtColor(base, cv2.COLOR_BGR2GRAY), cv2.COLOR_GRAY2BGR
+        )).any()
+
+
+class TestKuliteComparisonCLI:
+    def test_displaced_selection_and_images(self, tmp_path):
+        """upsp-kulite-comparison --direction up writes CSV + debug images."""
+        pytest.importorskip("cv2")
+        import os
+        import subprocess
+        import sys
+
+        from upsp_tpu.io.plot3d import write_p3d_grid
+        from upsp_tpu.pipeline.diagnostics import write_phase0_diagnostics
+        from upsp_tpu.pipeline.synthetic import make_synthetic_state
+
+        state = make_synthetic_state(
+            n_cameras=1, image_hw=(64, 96), grid_shape=(24, 20),
+            n_patch_dots=3, registration="none",
+        )
+        # grid file for load_model (plate grid matches the synthetic state)
+        from upsp_tpu.pipeline.synthetic import make_plate_grid
+
+        write_p3d_grid(str(tmp_path / "plate.grid"), make_plate_grid(24, 20))
+        # one kulite at a mid-plate vertex
+        v = state.model.vertices[150]
+        tgts = tmp_path / "model.tgts"
+        tgts.write_text(
+            "*Targets\n"
+            f"1 {v[0]:.4f} {v[1]:.4f} {v[2]:.4f} 0.0 0.0 1.0 0.1 1 1 1 K01\n"
+        )
+        # pressure_transpose: (N, F) flat file
+        N, F = state.model.size, 16
+        press = np.random.default_rng(3).normal(
+            0, 0.01, size=(N, F)
+        ).astype("<f4")
+        press.tofile(tmp_path / "pressure_transpose")
+        diag = tmp_path / "diag"
+        write_phase0_diagnostics(state, str(diag))
+
+        r = subprocess.run(
+            [
+                sys.executable, "scripts/upsp-kulite-comparison",
+                "--pressure", str(tmp_path / "pressure_transpose"),
+                "--grid", str(tmp_path / "plate.grid"),
+                "--tgts", str(tgts),
+                "--frames", str(F),
+                "--direction", "up", "--distance", "0.5", "--n-vertices", "6",
+                "--diag-dir", str(diag),
+                "--images-out", str(tmp_path / "imgs"),
+                "--out", str(tmp_path / "cmp.csv"),
+            ],
+            capture_output=True, text=True, cwd="/root/repo",
+            env=dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo"),
+        )
+        assert r.returncode == 0, r.stderr
+        import csv as _csv
+
+        with open(tmp_path / "cmp.csv") as fh:
+            rows = list(_csv.DictReader(fh))
+        assert rows[0]["kulite"] == "K01"
+        assert len(rows[0]["selection_vertices"].split()) == 6
+        assert float(rows[0]["upsp_rms_dcp"]) > 0
+        assert (tmp_path / "imgs" / "cam01-selected-pixels.png").exists()

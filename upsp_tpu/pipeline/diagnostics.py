@@ -83,7 +83,11 @@ def write_phase0_diagnostics(state, out_dir: str) -> None:
         prefix = os.path.join(out_dir, f"cam{c + 1:02d}-")
         img8 = convert_to_8u(ref[c])
         cv2.imwrite(prefix + "8bit-raw.png", img8)
-        cv2.imwrite(prefix + "raw.exr", ref[c].astype(np.float32))
+        try:
+            cv2.imwrite(prefix + "raw.exr", ref[c].astype(np.float32))
+        except cv2.error:
+            # OpenCV built without OpenEXR: keep the float image as raw f32
+            ref[c].astype("<f4").tofile(prefix + "raw.f32")
 
         proj = state.projections[c]
         counts = nodes_per_pixel_counts(
