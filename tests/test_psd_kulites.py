@@ -1,5 +1,6 @@
 """PSD parity vs scipy + kulite analysis helpers."""
 
+import os
 import numpy as np
 import pytest
 from scipy import signal
@@ -238,3 +239,90 @@ class TestKuliteComparisonCLI:
         assert len(rows[0]["selection_vertices"].split()) == 6
         assert float(rows[0]["upsp_rms_dcp"]) > 0
         assert (tmp_path / "imgs" / "cam01-selected-pixels.png").exists()
+
+
+class TestKuliteInfoFiles:
+    """Synthesized .info/.fast/.slow fixtures regression-lock the DAQ readers
+    (no real DAQ files in test data; format per kulite_utilities.py:150-340
+    semantics — tab-separated blocks with 2 leading index columns)."""
+
+    def _write_fixture(self, d, with_user_name=True, run=123, seq=4):
+        name = f"wtT{run}p{seq}t1"
+        k1, k0 = 0.001, 0.05
+        sens, off = 2.0, 0.1
+        lines = []
+        # block 1: filepaths (3 rows: info, fast, slow)
+        lines.append("\t".join(["0", "3", "File Name"]))
+        lines.append("\t".join(["1", "0", name + ".info"]))
+        lines.append("\t".join(["2", "1", name + ".fast"]))
+        lines.append("\t".join(["3", "2", name + ".slow"]))
+        # block 2: statistics (fast row then slow row)
+        lines.append("\t".join(
+            ["0", "2", "Sampling Rate", "Number Channels", "Samples Acquired"]
+        ))
+        lines.append("\t".join(["1", "0", "40000", "2", "32"]))
+        lines.append("\t".join(["2", "1", "1000", "2", "8"]))
+        # block 3: daqconfig (1 dummy row)
+        lines.append("\t".join(["0", "1", "Device"]))
+        lines.append("\t".join(["1", "0", "PXI"]))
+        # block 4: chanconfig
+        cols = ["User Channel", "Coeff k1", "Coeff k0", "Sensitivity", "Offset"]
+        if with_user_name:
+            cols = ["User Name"] + cols
+        lines.append("\t".join(["0", "2"] + cols))
+        for ch in (1, 2):
+            row = [f"K{ch:02d}"] if with_user_name else []
+            row += [str(ch), str(k1), str(k0), str(sens), str(off)]
+            lines.append("\t".join([str(ch), str(ch - 1)] + row))
+        (d / (name + ".info")).write_text("\n".join(lines) + "\n")
+        rng = np.random.default_rng(7)
+        fast = rng.integers(-1000, 1000, size=(32, 2)).astype("<i4")
+        slow = rng.integers(-1000, 1000, size=(8, 2)).astype("<i4")
+        fast.tofile(d / (name + ".fast"))
+        slow.tofile(d / (name + ".slow"))
+        return name, (k1, k0, sens, off), fast, slow
+
+    def test_read_info_and_scaling(self, tmp_path):
+        pytest.importorskip("pandas")
+        from upsp_tpu.processing.kulites import Kulites, read_info
+
+        name, (k1, k0, sens, off), fast, slow = self._write_fixture(tmp_path)
+        info = read_info(str(tmp_path / (name + ".info")))
+        assert list(info.chanconfig.index) == ["K01", "K02"]
+        assert float(info.statistics["Sampling Rate"][1]) == 1000
+
+        kul = Kulites(str(tmp_path), 123, 4, f_type="slow")
+        assert set(kul.data) == {"K01", "K02"}
+        assert kul.sample_rate == 1000
+        expect = (slow[:, 0] * k1 + k0 - off) / sens
+        np.testing.assert_allclose(kul.data["K01"], expect, rtol=1e-6)
+
+    def test_fast_stream_and_psf(self, tmp_path):
+        pytest.importorskip("pandas")
+        from upsp_tpu.processing.kulites import Kulites
+
+        name, (k1, k0, sens, off), fast, slow = self._write_fixture(tmp_path)
+        kul = Kulites(str(tmp_path), 123, 4, f_type="fast", psf=True)
+        assert kul.sample_rate == 40000
+        assert len(kul.data["K02"]) == 32
+        expect = (fast[:, 1] * k1 + k0 - off) / sens * 144.0
+        np.testing.assert_allclose(kul.data["K02"], expect, rtol=1e-6)
+
+    def test_inferred_user_names(self, tmp_path):
+        """v1-style chanconfig without 'User Name' -> K01/K02 inferred."""
+        pytest.importorskip("pandas")
+        from upsp_tpu.processing.kulites import read_info
+
+        name, _, _, _ = self._write_fixture(tmp_path, with_user_name=False)
+        info = read_info(str(tmp_path / (name + ".info")))
+        assert list(info.chanconfig.index) == ["K01", "K02"]
+
+    def test_find_info_files_patterns(self, tmp_path):
+        from upsp_tpu.processing.kulites import find_info_files
+
+        (tmp_path / "wtT123p4t1.info").write_text("")
+        (tmp_path / "wtT999p9t1.info").write_text("")
+        (tmp_path / "xr0123s004t1_S1C1.info").write_text("")
+        found = find_info_files(str(tmp_path), 123, 4)
+        names = sorted(os.path.basename(f) for f in found)
+        assert names == ["wtT123p4t1.info", "xr0123s004t1_S1C1.info"]
