@@ -214,3 +214,39 @@ class TestPackedReads:
             packed = vid.read_packed_frames(F)
             decoded = unpack_12bpp(packed.reshape(-1)).reshape(F, H, W)
             np.testing.assert_array_equal(decoded, frames)
+
+
+class TestCineLUT:
+    def test_exact_vendor_table(self):
+        """Exact 10->12-bit linearization table (vendor data asset)."""
+        from upsp_tpu.io.video.cine import LUT_10_TO_12
+
+        assert LUT_10_TO_12.shape == (1024,)
+        assert LUT_10_TO_12.dtype == np.uint16
+        # vendor anchor values
+        assert LUT_10_TO_12[0] == 2
+        assert LUT_10_TO_12[1] == 5
+        assert LUT_10_TO_12[64] == 64
+        assert LUT_10_TO_12[1014] == 4064
+        assert (LUT_10_TO_12[1015:] == 4095).all()
+        # monotone non-decreasing
+        assert (np.diff(LUT_10_TO_12.astype(int)) >= 0).all()
+
+    def test_matches_reference_table(self):
+        """Bit-exact vs the reference reader's table when available."""
+        import pathlib
+        import sys
+
+        ref = pathlib.Path("/root/reference/python")
+        if not ref.exists():
+            pytest.skip("reference unavailable")
+        sys.path.insert(0, str(ref))
+        try:
+            from upsp.video.cine import _LUT_10BIT
+        except ImportError:
+            pytest.skip("reference cine module not importable")
+        finally:
+            sys.path.pop(0)
+        from upsp_tpu.io.video.cine import LUT_10_TO_12
+
+        np.testing.assert_array_equal(LUT_10_TO_12, np.asarray(_LUT_10BIT))

@@ -14,6 +14,7 @@ linear.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -155,26 +156,20 @@ class CineReader(VideoReader):
         return pix[: self.height * self.width].reshape(self.height, self.width)
 
 
-def _build_lut_10_to_12() -> np.ndarray:
-    """Vision Research 10->12 bit linearization curve.
+def _load_lut_10_to_12() -> np.ndarray:
+    """Vision Research 10->12 bit linearization curve (exact vendor table).
 
-    The camera stores log-companded 10-bit values; the published expansion is
-    well-approximated (and matched at the anchor points used by the vendor SDK)
-    by the piecewise curve below.  Values verified against the reference's
-    published table endpoints (python/upsp/video/cine.py LUT: lut[0]=2,
-    lut[255]=255-ish linear segment, lut[1023]=4095).
+    The camera stores log-companded 10-bit values; the expansion is a fixed
+    1024-entry hardware calibration table published with the camera SDK (and
+    embedded in every cine reader, e.g. python/upsp/video/cine.py:436 and the
+    public pycine project).  It is vendor *data*, not derivable analytically,
+    so it ships as a binary asset: cine_lut10.npy (uint16, 1024 entries,
+    lut[0]=2, lut[1014]=4064, lut[1015:]=4095).
     """
-    # The vendor curve is a gamma-like expansion; we interpolate the exact
-    # table the cameras use, reconstructed from its defining breakpoints.
-    x = np.arange(1024, dtype=np.float64)
-    # linear toe up to ~128, then power-law body calibrated to hit 4064 @ 1015
-    toe_end = 128.0
-    toe = x * (110.0 / toe_end)
-    body = 110.0 * np.power(x / toe_end, 1.55)
-    y = np.where(x <= toe_end, toe, body)
-    y = np.clip(np.rint(y * (4064.0 / y[1015])), 0, 4095).astype(np.uint16)
-    y[1016:] = 4095
-    return y
+    path = os.path.join(os.path.dirname(__file__), "cine_lut10.npy")
+    lut = np.load(path)
+    assert lut.shape == (1024,) and lut.dtype == np.uint16
+    return lut
 
 
-LUT_10_TO_12 = _build_lut_10_to_12()
+LUT_10_TO_12 = _load_lut_10_to_12()
