@@ -346,3 +346,26 @@ class TestRegistrationTelemetry:
         assert (tele[:, :, 0] > 0.8).all()
         assert (tele[:, :, 1] >= 1).all()
         assert np.abs(tele[1:, :, 2:]).max() > 0.3  # rolled frames -> shift seen
+
+
+class TestPackedIngestConfig:
+    def test_uniform_format_gating(self):
+        from types import SimpleNamespace
+
+        from upsp_tpu.pipeline.run import _packed_ingest_config
+
+        lut = np.arange(1024, dtype=np.uint16)
+        r12 = SimpleNamespace(supports_packed_reads=True, packed_bits=12, packed_lut=None)
+        r10 = SimpleNamespace(supports_packed_reads=True, packed_bits=10, packed_lut=lut)
+        r10b = SimpleNamespace(supports_packed_reads=True, packed_bits=10, packed_lut=lut.copy())
+        r_no = SimpleNamespace(supports_packed_reads=False)
+
+        ok, kw = _packed_ingest_config([r12, r12], None, "auto")
+        assert ok and kw == {"packed_bits": 12, "lut": None}
+        ok, kw = _packed_ingest_config([r10, r10b], None, "auto")
+        assert ok and kw["packed_bits"] == 10
+        # mixed bit depths, missing support, disabled, frames_array -> host path
+        assert not _packed_ingest_config([r12, r10], None, "auto")[0]
+        assert not _packed_ingest_config([r12, r_no], None, "auto")[0]
+        assert not _packed_ingest_config([r12], None, False)[0]
+        assert not _packed_ingest_config([r12], np.zeros((1, 1, 4, 4)), "auto")[0]

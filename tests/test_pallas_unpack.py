@@ -70,3 +70,63 @@ class TestPackedChunkProcessor:
         got = np.asarray(fn(jnp.asarray(packed)))
         want = np.asarray(process_frames(state, jnp.asarray(q)))
         np.testing.assert_array_equal(got, want)
+
+
+class TestUnpack10:
+    def test_jnp_matches_host(self, rng):
+        import jax.numpy as jnp
+
+        from upsp_tpu.io.video.util import pack_10bpp, unpack_10bpp
+        from upsp_tpu.ops.pallas_unpack import unpack_10bpp_jnp
+
+        pix = rng.integers(0, 1024, size=4 * 5000).astype(np.uint16)
+        buf = pack_10bpp(pix)
+        got = np.asarray(unpack_10bpp_jnp(jnp.asarray(buf)))
+        np.testing.assert_array_equal(got, unpack_10bpp(buf))
+
+    def test_kernel_interpret_matches_jnp(self, rng):
+        import jax.numpy as jnp
+
+        from upsp_tpu.ops.pallas_unpack import (
+            unpack_10bpp_device,
+            unpack_10bpp_jnp,
+        )
+
+        buf = rng.integers(0, 256, size=5 * 40000, dtype=np.uint8)
+        got = np.asarray(unpack_10bpp_device(jnp.asarray(buf), interpret=True))
+        want = np.asarray(unpack_10bpp_jnp(jnp.asarray(buf)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_packed_processor_10bit_with_lut(self):
+        """10-bit packed chunk + companding LUT == host-decoded path."""
+        import jax.numpy as jnp
+
+        from upsp_tpu.io.video.cine import LUT_10_TO_12
+        from upsp_tpu.io.video.util import pack_10bpp
+        from upsp_tpu.pipeline.phase1 import (
+            make_packed_chunk_processor,
+            process_frames,
+        )
+        from upsp_tpu.pipeline.synthetic import make_frame_batch, make_synthetic_state
+
+        state = make_synthetic_state(
+            n_cameras=1, image_hw=(64, 96), grid_shape=(24, 20),
+            n_patch_dots=3, registration="none",
+        )
+        frames = make_frame_batch(state, n_frames=2)
+        # 10-bit camera domain
+        q10 = np.clip(np.round(frames / 4.0), 0, 1023).astype(np.uint16)
+        packed = np.stack(
+            [
+                np.stack([pack_10bpp(q10[f, c].reshape(-1)) for c in range(q10.shape[1])])
+                for f in range(q10.shape[0])
+            ]
+        )
+        fn = make_packed_chunk_processor(
+            state, use_pallas=False, packed_bits=10, lut=LUT_10_TO_12
+        )
+        got = np.asarray(fn(jnp.asarray(packed)))
+        want = np.asarray(
+            process_frames(state, jnp.asarray(LUT_10_TO_12[q10].astype(np.uint16)))
+        )
+        np.testing.assert_array_equal(got, want)

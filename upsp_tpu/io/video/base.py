@@ -103,15 +103,27 @@ class VideoReader(abc.ABC):
 
     @property
     def supports_packed_reads(self) -> bool:
-        """True when frames can be served as raw 12-bit-packed byte rows for
-        on-device unpacking (ops/pallas_unpack.py) — 25% less host->device
+        """True when frames can be served as raw packed byte rows for
+        on-device unpacking (ops/pallas_unpack.py) — 25-37% less host->device
         traffic than pre-unpacked uint16."""
         return False
 
     @property
+    def packed_bits(self) -> int:
+        """Bits per pixel in the packed representation (10 or 12)."""
+        return 12
+
+    @property
+    def packed_lut(self):
+        """Optional (2**packed_bits,) uint16 linearization table applied
+        after the bit unpack (e.g. the cine 10->12-bit companding LUT), or
+        None for linear formats."""
+        return None
+
+    @property
     def packed_frame_nbytes(self) -> int:
-        """Bytes per frame in the packed representation (12 bpp)."""
-        return self.height * self.width * 3 // 2
+        """Bytes per frame in the packed representation."""
+        return self.height * self.width * self.packed_bits // 8
 
     def read_packed_frames(self, nframes: int, start: int = 0) -> np.ndarray:
         """Raw packed bytes, shape (nframes, packed_frame_nbytes) uint8."""

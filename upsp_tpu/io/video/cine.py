@@ -123,9 +123,17 @@ class CineReader(VideoReader):
 
     @property
     def supports_packed_reads(self):
-        # 12-bit packed payloads can unpack on device; 10-bit needs the
-        # companding LUT (host-side for now), linear frames aren't packed
-        return self._packed and self._real_bpp == 12
+        # packed 10/12-bit payloads unpack on device (10-bit additionally
+        # passes through the companding LUT, shipped to device as a gather)
+        return self._packed and self._real_bpp in (10, 12)
+
+    @property
+    def packed_bits(self):
+        return self._real_bpp
+
+    @property
+    def packed_lut(self):
+        return LUT_10_TO_12 if self._real_bpp == 10 else None
 
     def read_packed_frames(self, nframes: int, start: int = 0) -> np.ndarray:
         self._validate_index(start + nframes - 1)

@@ -79,8 +79,12 @@ class MrawReader(VideoReader):
 
     @property
     def supports_packed_reads(self):
-        # headerless contiguous 12-bit packed data: packed rows are one read
-        return self.bit_depth == 12
+        # headerless contiguous packed data: packed rows are one read
+        return self.bit_depth in (10, 12)
+
+    @property
+    def packed_bits(self):
+        return self.bit_depth
 
     def read_packed_frames(self, nframes: int, start: int = 0) -> np.ndarray:
         self._validate_index(start + nframes - 1)

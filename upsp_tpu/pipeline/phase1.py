@@ -124,24 +124,43 @@ def make_frame_processor(state: Phase0State, with_telemetry: bool = False):
 
 
 def make_packed_chunk_processor(
-    state: Phase0State, use_pallas: bool = None, with_telemetry: bool = False
+    state: Phase0State,
+    use_pallas: bool = None,
+    with_telemetry: bool = False,
+    packed_bits: int = 12,
+    lut=None,
 ):
-    """Fused ingest: 12-bit-packed bytes unpack *on device* then run phase 1.
+    """Fused ingest: packed camera bytes unpack *on device* then run phase 1.
 
-    Takes (F, C, B) uint8 packed chunks (B = 1.5 * H * W bytes/frame) and
-    returns (F, N) intensities in one jitted program.  Shipping packed bytes
-    instead of uint16 frames cuts host->HBM transfer by 25% (the reference
-    always unpacks on the host: cpp/lib/PSPVideo.cpp unpack_12bpp role).
+    Takes (F, C, B) uint8 packed chunks (B = packed_bits/8 * H * W
+    bytes/frame) and returns (F, N) intensities in one jitted program.
+    Shipping packed bytes instead of uint16 frames cuts host->HBM transfer by
+    25% (12-bit) or 37.5% (10-bit) (the reference always unpacks on the host:
+    cpp/lib/PSPVideo.cpp unpack role).  ``lut``: optional (2**packed_bits,)
+    uint16 linearization table applied on device (cine 10->12 companding —
+    a tiny gather XLA serves from VMEM).
 
     The Pallas kernel runs on TPU; elsewhere the identical jnp math is used
     (XLA fuses it into the ingest program).
     """
     import jax as _jax
 
-    from upsp_tpu.ops.pallas_unpack import unpack_12bpp_device, unpack_12bpp_jnp
+    from upsp_tpu.ops.pallas_unpack import (
+        unpack_10bpp_device,
+        unpack_10bpp_jnp,
+        unpack_12bpp_device,
+        unpack_12bpp_jnp,
+    )
 
+    if packed_bits not in (10, 12):
+        raise ValueError(f"packed_bits must be 10 or 12, got {packed_bits}")
     if use_pallas is None:
         use_pallas = _jax.default_backend() == "tpu"
+    if packed_bits == 12:
+        unpack = unpack_12bpp_device if use_pallas else unpack_12bpp_jnp
+    else:
+        unpack = unpack_10bpp_device if use_pallas else unpack_10bpp_jnp
+    lut_dev = None if lut is None else jnp.asarray(lut, jnp.uint16)
     fn = make_frame_processor(state, with_telemetry=with_telemetry)
     h, w = state.image_hw
 
@@ -149,7 +168,9 @@ def make_packed_chunk_processor(
     def process(packed: jax.Array):  # (F, C, B) uint8
         n_f, n_c = packed.shape[0], packed.shape[1]
         flat = packed.reshape(-1)
-        pix = unpack_12bpp_device(flat) if use_pallas else unpack_12bpp_jnp(flat)
+        pix = unpack(flat)
+        if lut_dev is not None:
+            pix = lut_dev[pix.astype(jnp.int32)]
         frames = pix.reshape(n_f, n_c, h, w)
         return jax.lax.map(fn, frames)
 

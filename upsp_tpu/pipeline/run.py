@@ -45,6 +45,33 @@ class DatapointOutputs:
     n_frames: int
 
 
+def _packed_ingest_config(readers, frames_array, device_unpack):
+    """Decide whether packed on-device ingest applies, and with what format.
+
+    Packed mode requires every camera's format to support packed reads AND
+    agree on bit depth + linearization LUT (the chunk unpacks as one flat
+    buffer); mixed-format rigs fall back to host decode.
+    """
+    if (
+        frames_array is not None
+        or device_unpack not in ("auto", True)
+        or not readers
+        or not all(r.supports_packed_reads for r in readers)
+    ):
+        return False, {}
+    bits = {r.packed_bits for r in readers}
+    if len(bits) != 1:
+        return False, {}
+    luts = [r.packed_lut for r in readers]
+    lut0 = luts[0]
+    for lut in luts[1:]:
+        if (lut is None) != (lut0 is None) or (
+            lut0 is not None and not np.array_equal(lut, lut0)
+        ):
+            return False, {}
+    return True, {"packed_bits": bits.pop(), "lut": lut0}
+
+
 def open_videos(cfg: ProcessingConfig):
     readers = []
     for cam in cfg.cameras:
@@ -118,18 +145,17 @@ def run_datapoint(
             return _finish_from_intensity(cfg, state, intensity, write_outputs)
         log.info("resume requested but no consistent intensity file; running")
 
-    use_packed = (
-        frames_array is None
-        and device_unpack in ("auto", True)
-        and all(r.supports_packed_reads for r in readers)
-    )
+    use_packed, packed_kw = _packed_ingest_config(readers, frames_array, device_unpack)
     if use_packed:
         from upsp_tpu.pipeline.phase1 import make_packed_chunk_processor
 
         fn = make_packed_chunk_processor(
-            state, with_telemetry=registration_telemetry
+            state, with_telemetry=registration_telemetry, **packed_kw
         )
-        log.info("phase1: on-device packed-byte ingest enabled")
+        log.info(
+            "phase1: on-device packed-byte ingest enabled (%d-bit)",
+            packed_kw["packed_bits"],
+        )
     else:
         fn = make_frame_processor(state, with_telemetry=registration_telemetry)
     intensity = np.empty((n_frames, n_nodes), np.float32)
@@ -237,15 +263,11 @@ def run_datapoint_streaming(
 
     state = run_phase0(cfg, first_frames, bit_depths)
     n_nodes = state.model.size
-    use_packed = (
-        frames_array is None
-        and device_unpack in ("auto", True)
-        and all(r.supports_packed_reads for r in readers)
-    )
+    use_packed, packed_kw = _packed_ingest_config(readers, frames_array, device_unpack)
     if use_packed:
         from upsp_tpu.pipeline.phase1 import make_packed_chunk_processor
 
-        packed_fn = make_packed_chunk_processor(state)
+        packed_fn = make_packed_chunk_processor(state, **packed_kw)
     fn = make_frame_processor(state)
     ffs = FlatFileSet(cfg.out_dir)
 
