@@ -43,7 +43,15 @@ def bench_tpu() -> float:
     step = make_frame_processor(state)
     # production shape: one dispatch maps the fused step over the frame batch
     batch_fn = jax.jit(lambda fr: jax.lax.map(step, fr))
-    frames = jnp.asarray(make_frame_batch(state, N_FRAMES))
+    # host-side synthesis is ~6 s/frame at 1 MP (bilinear sub-pixel jitter on
+    # 2 cores); tile 8 distinct jittered frames to N_FRAMES — per-frame device
+    # work (ECC iterations on distinct sub-pixel shifts) is unchanged
+    n_distinct = min(8, N_FRAMES)
+    distinct = make_frame_batch(state, n_distinct)
+    reps_tile = -(-N_FRAMES // n_distinct)
+    frames = jnp.asarray(
+        np.tile(distinct, (reps_tile, 1, 1, 1))[:N_FRAMES]
+    )
 
     batch_fn(frames).block_until_ready()  # warmup / compile
 

@@ -97,3 +97,30 @@ class TestIncal:
         pts = np.array([[5.0, 5.0], [2000.0, 5.0]])
         ok = points_inside_incal(None, pts, (512, 1024))
         assert ok[0] and not ok[1]
+
+
+class TestPhase0Diagnostics:
+    def test_writes_full_set(self, tmp_path):
+        pytest.importorskip("cv2")
+        import numpy as np
+
+        from upsp_tpu.pipeline.diagnostics import write_phase0_diagnostics
+        from upsp_tpu.pipeline.synthetic import make_synthetic_state
+
+        state = make_synthetic_state(
+            n_cameras=2, image_hw=(64, 96), grid_shape=(24, 20),
+            n_patch_dots=3, registration="none",
+        )
+        write_phase0_diagnostics(state, str(tmp_path))
+        for c in (1, 2):
+            assert (tmp_path / f"cam{c:02d}-8bit-raw.png").exists()
+            assert (tmp_path / f"cam{c:02d}-nodecount.png").exists()
+            uv = np.fromfile(tmp_path / f"cam{c:02d}-uv", "<f4")
+            assert uv.size == 2 * state.model.size
+            cov = np.fromfile(tmp_path / f"cam{c:02d}-coverage", "<f4")
+            assert cov.size == state.model.size
+            assert cov.max() > 0  # some nodes covered by this camera
+            # float raw image present as exr or f32 fallback
+            assert (tmp_path / f"cam{c:02d}-raw.exr").exists() or (
+                tmp_path / f"cam{c:02d}-raw.f32"
+            ).exists()

@@ -98,6 +98,14 @@ def write_phase0_diagnostics(state, out_dir: str) -> None:
         uv = np.stack([np.asarray(proj.u), np.asarray(proj.v)], axis=1)
         uv.astype("<f4").ravel().tofile(prefix + "uv")
 
+        # per-camera coverage: this camera's projection weight per node
+        # (the reference sketches these datasets but leaves them commented
+        # out; cheap here — one all-ones projection per camera)
+        from upsp_tpu.ops.projection import coverage as _coverage
+
+        cam_cov = np.asarray(_coverage([proj], *state.image_hw))
+        cam_cov.astype("<f4").tofile(prefix + "coverage")
+
         op = state.patch_ops[c]
         if op is not None:
             H, W = state.image_hw
