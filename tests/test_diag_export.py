@@ -124,3 +124,45 @@ class TestPhase0Diagnostics:
             assert (tmp_path / f"cam{c:02d}-raw.exr").exists() or (
                 tmp_path / f"cam{c:02d}-raw.f32"
             ).exists()
+
+
+class TestRegistrationTelemetryAnalysis:
+    def _tele(self, iters, rho=None, F=100):
+        t = np.zeros((F, 1, 4), np.float32)
+        t[:, 0, 0] = 0.99 if rho is None else rho
+        t[:, 0, 1] = iters
+        t[:, 0, 2] = 0.3
+        t[:, 0, 3] = -0.2
+        return t
+
+    def test_budget_bound_relaxes_epsilon(self):
+        from upsp_tpu.pipeline.diagnostics import analyze_registration_telemetry
+
+        rep = analyze_registration_telemetry(self._tele(50), max_iters=50)
+        cam = rep["cameras"][0]
+        assert cam["recommended_epsilon"] == pytest.approx(3e-3)
+        assert cam["recommended_max_iters"] == 50
+
+    def test_instant_convergence_tightens(self):
+        from upsp_tpu.pipeline.diagnostics import analyze_registration_telemetry
+
+        rep = analyze_registration_telemetry(self._tele(1))
+        cam = rep["cameras"][0]
+        assert cam["recommended_epsilon"] == pytest.approx(1e-3 / 3)
+        assert cam["recommended_max_iters"] == 5
+
+    def test_suspect_frames_flagged(self):
+        from upsp_tpu.pipeline.diagnostics import analyze_registration_telemetry
+
+        rho = np.full(100, 0.99)
+        rho[[17, 63]] = 0.5  # dropped frames
+        rep = analyze_registration_telemetry(self._tele(8, rho=rho))
+        assert rep["cameras"][0]["suspect_frames"] == [17, 63]
+
+    def test_roundtrip_file(self, tmp_path):
+        from upsp_tpu.pipeline.diagnostics import read_registration_telemetry
+
+        t = self._tele(5, F=12)
+        t.astype("<f4").tofile(tmp_path / "registration")
+        back = read_registration_telemetry(str(tmp_path / "registration"), 1)
+        np.testing.assert_array_equal(back, t)

@@ -116,3 +116,59 @@ def write_phase0_diagnostics(state, out_dir: str) -> None:
             bimg[i_idx // W, i_idx % W] = (0, 255, 255)
             bimg[b_idx // W, b_idx % W] = (255, 0, 0)
             cv2.imwrite(prefix + "8bit-cluster-boundaries.png", bimg)
+
+
+# -- registration telemetry analysis ------------------------------------------
+
+def read_registration_telemetry(path: str, n_cameras: int) -> np.ndarray:
+    """Load the ``registration`` flat file written by run_datapoint
+    (registration_telemetry=True) back into (F, C, 4) [rho, iters, tx, ty]."""
+    raw = np.fromfile(path, "<f4")
+    return raw.reshape(-1, n_cameras, 4)
+
+
+def analyze_registration_telemetry(
+    telemetry: np.ndarray,
+    max_iters: int = 50,
+    epsilon: float = 1e-3,
+) -> dict:
+    """Per-camera ECC convergence report + tuning recommendations.
+
+    Turns the free per-frame record into the adaptive-parameter policy the
+    reference leaves to the operator: if the iteration budget saturates,
+    relax epsilon (the sequence is noisy and late iterations buy nothing);
+    if convergence is immediate, tighten epsilon to bank accuracy headroom.
+    Frames whose correlation drops far below the sequence trend are flagged
+    for inspection (lamp flicker, a skipped frame, model strike).
+    """
+    tele = np.asarray(telemetry, np.float64)
+    F, C, _ = tele.shape
+    cameras = []
+    for c in range(C):
+        rho = tele[:, c, 0]
+        iters = tele[:, c, 1]
+        shift = np.hypot(tele[:, c, 2], tele[:, c, 3])
+        p95 = float(np.percentile(iters, 95))
+        rec_iters = int(np.clip(np.ceil(p95 * 1.25), 5, max_iters))
+        if p95 >= max_iters:
+            rec_eps = epsilon * 3.0  # budget-bound: stop earlier
+        elif float(iters.mean()) <= 2.0:
+            rec_eps = epsilon / 3.0  # converges instantly: ask for more
+        else:
+            rec_eps = epsilon
+        mu, sd = float(rho.mean()), float(rho.std())
+        suspect = np.nonzero(rho < mu - 4.0 * max(sd, 1e-6))[0]
+        cameras.append(
+            {
+                "rho_min": float(rho.min()),
+                "rho_mean": mu,
+                "iters_mean": float(iters.mean()),
+                "iters_p95": p95,
+                "iters_max": int(iters.max()),
+                "shift_max_px": float(shift.max()),
+                "recommended_max_iters": rec_iters,
+                "recommended_epsilon": float(rec_eps),
+                "suspect_frames": suspect.tolist(),
+            }
+        )
+    return {"n_frames": F, "cameras": cameras}
