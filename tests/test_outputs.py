@@ -369,3 +369,78 @@ class TestPackedIngestConfig:
         assert not _packed_ingest_config([r12, r_no], None, "auto")[0]
         assert not _packed_ingest_config([r12], None, False)[0]
         assert not _packed_ingest_config([r12], np.zeros((1, 1, 4, 4)), "auto")[0]
+
+
+class TestPackedRunEndToEnd:
+    def test_mraw_packed_vs_host_decode(self, tmp_path):
+        """run_datapoint from a real .mraw: device_unpack == host decode."""
+        from upsp_tpu.io.plot3d import write_p3d_grid
+        from upsp_tpu.io.video.util import pack_12bpp
+        from upsp_tpu.pipeline.config import CameraInputs, ProcessingConfig
+        from upsp_tpu.pipeline.run import run_datapoint
+        from upsp_tpu.pipeline.synthetic import make_plate_grid
+
+        grid_path = str(tmp_path / "plate.grid")
+        write_p3d_grid(grid_path, make_plate_grid(21, 17))
+        cam_json = str(tmp_path / "cam.json")
+        with open(cam_json, "w") as fh:
+            json.dump(
+                {
+                    "uPSP_cameraMatrix": [[200.0, 0, 0], [0, 200.0, 0], [0, 0, 1]],
+                    "distCoeffs": [[0, 0, 0, 0, 0]],
+                    "rmat": [[1, 0, 0], [0, -1, 0], [0, 0, -1]],
+                    "tvec": [-5.0, 4.0, 20.0],
+                },
+                fh,
+            )
+        # 12-bit packed mraw + cih sidecar
+        H, W, F = 96, 128, 6
+        yy, xx = np.mgrid[0:H, 0:W]
+        base = 2000 + 5.0 * xx + 3.0 * yy
+        frames = np.stack(
+            [
+                np.clip(
+                    np.round(base * (1 + 0.01 * np.sin(2 * np.pi * f / 5))), 0, 4095
+                ).astype(np.uint16)
+                for f in range(F)
+            ]
+        )
+        with open(tmp_path / "video.mraw", "wb") as fh:
+            for f in range(F):
+                fh.write(pack_12bpp(frames[f].reshape(-1)).tobytes())
+        (tmp_path / "video.cih").write_text(
+            "#\n"
+            f"Image Width : {W}\n"
+            f"Image Height : {H}\n"
+            "Color Bit : 12\n"
+            "Record Rate(fps) : 10000\n"
+            f"Total Frame : {F}\n"
+            "END\n"
+        )
+        cfg = ProcessingConfig(
+            cameras=[
+                CameraInputs(
+                    number=1, video=str(tmp_path / "video.mraw"),
+                    calibration=cam_json,
+                )
+            ],
+            grid=grid_path,
+            registration="none",
+            target_patcher="none",
+        )
+        out_p = run_datapoint(
+            cfg, frames_per_chunk=4, write_outputs=False, device_unpack=True
+        )
+        out_h = run_datapoint(
+            cfg, frames_per_chunk=4, write_outputs=False, device_unpack=False
+        )
+        assert out_p.n_frames == F
+        np.testing.assert_array_equal(out_p.intensity, out_h.intensity)
+        # and against the direct frames_array path
+        out_a = run_datapoint(
+            cfg, frames_array=frames[:, None].astype(np.float32),
+            write_outputs=False,
+        )
+        np.testing.assert_allclose(
+            out_p.intensity, out_a.intensity, rtol=1e-6, atol=1e-4
+        )
