@@ -191,7 +191,6 @@ def transpose_f32(src: str, dst: str, rows: int, cols: int, block: int = 2048):
             raise OSError(f"upsp_transpose_f32 failed with code {rc}")
         return
     import importlib.util
-    import sys
 
     spec = importlib.util.spec_from_file_location(
         "upsp_matrix_transpose",

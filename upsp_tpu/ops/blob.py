@@ -10,7 +10,7 @@ matching the detector's documented behavior (dark blobs, min/max diameter).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 from scipy import ndimage

@@ -22,7 +22,6 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 SUPER_GAUSS_POWER_UPPER_BOUND = 20.0
 

@@ -13,7 +13,6 @@ projection updates into one tiny matmul per node.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -8,7 +8,7 @@ Used for target-pattern alignment when direct projection matching fails.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy.spatial import cKDTree

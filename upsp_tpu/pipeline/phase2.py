@@ -16,8 +16,6 @@ skip_fit path.
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import NamedTuple
 
 import jax

@@ -9,14 +9,14 @@ gather-projection); only the phase-0 *construction* is shortcut.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from upsp_tpu.camera.model import CameraParams, make_camera_params
 from upsp_tpu.io.plot3d import StructGrid
-from upsp_tpu.geometry.grids import SurfaceModel, from_struct_grid
+from upsp_tpu.geometry.grids import from_struct_grid
 from upsp_tpu.ops.patching import build_patch_clusters, build_patch_operator
 from upsp_tpu.ops.projection import (
     NodeProjection,
