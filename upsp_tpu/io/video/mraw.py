@@ -78,6 +78,18 @@ class MrawReader(VideoReader):
         return int(self.cih_info["Total Frame"])
 
     @property
+    def exposure_us(self):
+        """Exposure from the 'Shutter Speed(s)' line ('1/20000' or seconds)."""
+        val = self.cih_info.get("Shutter Speed(s)", 0)
+        if isinstance(val, str):
+            num, _, den = val.partition("/")
+            try:
+                val = float(num) / float(den) if den else float(num)
+            except ValueError:
+                return 0.0
+        return float(val) * 1e6
+
+    @property
     def supports_packed_reads(self):
         # headerless contiguous packed data: packed rows are one read
         return self.bit_depth in (10, 12)

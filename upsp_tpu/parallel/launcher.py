@@ -60,6 +60,6 @@ def host_reads_for_datapoint(cfg, process_id: int, process_count: int):
     """
     from upsp_tpu.pipeline.run import open_videos
 
-    readers, n_frames = open_videos(cfg)
+    readers, n_frames, start0 = open_videos(cfg)
     start, count = host_frame_slice(n_frames, process_id, process_count)
-    return readers, start, count
+    return readers, start0 + start, count

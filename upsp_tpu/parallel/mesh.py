@@ -25,22 +25,57 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 FRAMES_AXIS = "frames"
+HOSTS_AXIS = "hosts"
 
 
-def make_mesh(devices: Optional[Sequence] = None, axis: str = FRAMES_AXIS) -> Mesh:
-    """1-D mesh over all (or given) devices; the axis carries frames or nodes."""
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    axis: str = FRAMES_AXIS,
+    n_hosts: Optional[int] = None,
+) -> Mesh:
+    """Device mesh over all (or given) devices.
+
+    1-D by default (axis carries the block decomposition).  With ``n_hosts``
+    the mesh is 2-D ``(hosts, axis)`` — hosts major so each host's devices
+    hold a contiguous frame/node range and the phase-1<->2 all-to-all rides
+    ICI within a host before DCN across hosts.
+    """
     devices = list(devices) if devices is not None else jax.devices()
+    if n_hosts is not None and n_hosts > 1:
+        if len(devices) % n_hosts:
+            raise ValueError(
+                f"{len(devices)} devices do not divide over {n_hosts} hosts"
+            )
+        arr = np.array(devices).reshape(n_hosts, -1)
+        return Mesh(arr, (HOSTS_AXIS, axis))
     return Mesh(np.array(devices), (axis,))
 
 
+def mesh_axes(mesh: Mesh) -> tuple:
+    """All mesh axis names, for sharding one array axis over every device.
+
+    Both pipeline phases use a 1-D block decomposition over the full rank
+    space (the reference's apportion over all MPI ranks, psp_process.cpp:
+    611-624) — on a 2-D (hosts, devices) mesh that means sharding the data
+    axis over the *combined* axes.
+    """
+    return tuple(mesh.axis_names)
+
+
 def frame_sharding(mesh: Mesh) -> NamedSharding:
-    """(F, ...) arrays: frames block-distributed (apportion() equivalent)."""
-    return NamedSharding(mesh, P(FRAMES_AXIS))
+    """(F, ...) arrays: frames block-distributed over every mesh axis
+    (apportion() equivalent, phase-1 layout)."""
+    return NamedSharding(mesh, P(mesh_axes(mesh)))
 
 
 def node_sharding(mesh: Mesh) -> NamedSharding:
-    """(N, ...) arrays: nodes block-distributed (phase-2 layout)."""
-    return NamedSharding(mesh, P(FRAMES_AXIS))
+    """(N, ...) arrays: nodes block-distributed over every mesh axis
+    (phase-2 layout).
+
+    The spec coincides with :func:`frame_sharding` by design — the reference
+    decomposes both phases 1-D over the same rank space; what changes between
+    phases is WHICH array axis is distributed, not the device layout."""
+    return NamedSharding(mesh, P(mesh_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -186,7 +186,7 @@ def _assign_file(cfg: ProcessingConfig, key: str, val: str) -> None:
 
 def _assign_option(cfg: ProcessingConfig, key: str, val: str) -> None:
     ints = {"filter_size", "number_frames", "degree", "bound_thickness",
-            "buffer_thickness"}
+            "buffer_thickness", "start_frame"}
     floats = {"oblique_angle", "grid_tol", "x_max", "target_diam_sf"}
     if key in ints:
         setattr(cfg, key, int(val))

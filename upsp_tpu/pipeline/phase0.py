@@ -222,6 +222,16 @@ def run_phase0(
         model = load_model(cfg.grid, tolerance=cfg.grid_tol)
     if cfg.x_max is not None:
         model.mark_nondata_x_max(cfg.x_max)
+    if cfg.active_comps:
+        from upsp_tpu.io.comps import apply_active_comps
+
+        n_masked = apply_active_comps(model, cfg.active_comps)
+        if n_masked:
+            import logging
+
+            logging.getLogger("upsp_tpu").info(
+                "active_comps: masked %d nodes of inactive components", n_masked
+            )
     if cfg.normals:
         _apply_normals_file(model, cfg.normals)
 
@@ -286,8 +296,17 @@ def run_phase0(
     )
     skipped = identify_skipped_nodes(projs)
 
-    ref_frames = jnp.asarray(
-        np.stack([f.astype(np.float32) for f in first_frames])
+    # The ECC template is the hot-pixel-FIXED first frame: the reference's
+    # read-ahead repairs frame 1 before it becomes the registration template
+    # (psp_process.cpp:880), and phase 1 repairs every input frame — template
+    # and input must see the same pixels at hot-pixel sites.
+    from upsp_tpu.ops.image import fix_hot_pixels
+
+    ref_frames = jnp.stack(
+        [
+            fix_hot_pixels(jnp.asarray(f)).astype(jnp.float32)
+            for f in first_frames
+        ]
     )
     return Phase0State(
         model=model,

@@ -4,15 +4,22 @@ The reference's OpenMP frame loop (psp_process.cpp:1743-1851 — studied, not
 copied) becomes ONE jitted function per frame stack: hot-pixel repair -> ECC
 alignment to the first frame -> fiducial patching (batched MXU matmul) ->
 Gaussian/box filter -> gather-projection -> multi-camera weighted sum ->
-NaN-fill skipped nodes -> overlap adjustment.  ``jax.lax.map`` over the frame
-axis keeps compile size constant; the frame axis shards across the device mesh
-(see upsp_tpu.parallel).
+NaN-fill skipped nodes -> overlap adjustment.
+
+Chunk execution is a ``lax.scan`` over the frame axis that carries each
+camera's converged ECC warp into the next frame as its warm start — model
+vibration is temporally coherent, so warm-started ECC converges in 1-3
+iterations instead of 5-15 with an identical converged solution (the
+objective and stopping rule do not change).  Under a device mesh the chunk is
+``shard_map``-ped: each device scans its own contiguous frame block (identity
+warp at block boundaries), which is exactly the reference's per-rank
+contiguous frame apportioning (psp_process.cpp:1520-1523).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,9 +27,8 @@ import jax.numpy as jnp
 from upsp_tpu.ops.image import apply_filter, fix_hot_pixels
 from upsp_tpu.ops.patching import PatchOperator, apply_patches
 from upsp_tpu.ops.projection import NodeProjection, project_frame
-from upsp_tpu.ops.registration import ecc_affine, warp_affine
+from upsp_tpu.ops.registration import ecc_affine, identity_warp, warp_affine
 from upsp_tpu.ops.warp import warp_affine_mxu
-from upsp_tpu.pipeline.phase0 import Phase0State
 
 
 class Phase1Params(NamedTuple):
@@ -35,7 +41,7 @@ class Phase1Params(NamedTuple):
     superseded_by: jax.Array  # (N,) int32
 
 
-def phase1_params(state: Phase0State) -> Phase1Params:
+def phase1_params(state) -> Phase1Params:
     return Phase1Params(
         projections=tuple(state.projections),
         skipped=state.skipped,
@@ -43,6 +49,57 @@ def phase1_params(state: Phase0State) -> Phase1Params:
         ref_frames=state.ref_frames,
         superseded_by=state.superseded_by,
     )
+
+
+def _process_frame_core(
+    frames: jax.Array,  # (C, H, W) raw camera frames (uint16 or float)
+    params: Phase1Params,
+    registration: str,
+    patch: bool,
+    filter_type: str,
+    filter_size: int,
+    interpolation: str,
+    adjust_overlap: bool,
+    warp_init: Optional[jax.Array] = None,  # (C, 2, 3) ECC warm start
+):
+    """One multi-camera frame -> (intensity (N,), warps (C,2,3), telemetry (C,4)).
+
+    Telemetry per camera is [rho, iterations, warp_tx, warp_ty] — the
+    on-device analog of the reference's per-frame registration logging, at
+    zero extra compute (all four values fall out of the ECC solve).
+    """
+    n_cams = frames.shape[0]
+    sol = None
+    warps = []
+    telemetry = []
+    for c in range(n_cams):
+        img = fix_hot_pixels(frames[c])
+        img = img.astype(jnp.float32)
+        if registration == "pixel":
+            init_c = None if warp_init is None else warp_init[c]
+            warp, rho, iters = ecc_affine(
+                params.ref_frames[c], img, warp_init=init_c, return_iters=True
+            )
+            telemetry.append(
+                jnp.stack([rho, iters.astype(jnp.float32), warp[0, 2], warp[1, 2]])
+            )
+            warps.append(warp)
+            if interpolation == "nearest":
+                img = warp_affine(img, warp, interpolation="nearest")
+            else:
+                img = warp_affine_mxu(img, warp)
+        else:
+            telemetry.append(jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32))
+            warps.append(identity_warp())
+        if patch and params.patch_ops[c] is not None:
+            img = apply_patches(img, params.patch_ops[c])
+        img = apply_filter(img, filter_type, filter_size)
+        c_sol = project_frame(img, params.projections[c])
+        sol = c_sol if sol is None else sol + c_sol
+    sol = jnp.where(params.skipped, jnp.nan, sol)
+    if adjust_overlap:
+        sol = sol[params.superseded_by]
+    return sol, jnp.stack(warps), jnp.stack(telemetry)
 
 
 @functools.partial(
@@ -64,43 +121,18 @@ def process_frame(
     """One multi-camera frame -> per-node intensity (N,).
 
     ``with_telemetry`` additionally returns a (C, 4) registration-quality
-    record per camera: [rho, iterations, warp_tx, warp_ty] — the on-device
-    analog of the reference's per-frame registration logging, at zero extra
-    compute (all four values fall out of the ECC solve).
+    record per camera: [rho, iterations, warp_tx, warp_ty].
     """
-    n_cams = frames.shape[0]
-    sol = None
-    telemetry = []
-    for c in range(n_cams):
-        img = fix_hot_pixels(frames[c])
-        img = img.astype(jnp.float32)
-        if registration == "pixel":
-            warp, rho, iters = ecc_affine(
-                params.ref_frames[c], img, return_iters=True
-            )
-            telemetry.append(
-                jnp.stack([rho, iters.astype(jnp.float32), warp[0, 2], warp[1, 2]])
-            )
-            if interpolation == "nearest":
-                img = warp_affine(img, warp, interpolation="nearest")
-            else:
-                img = warp_affine_mxu(img, warp)
-        else:
-            telemetry.append(jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32))
-        if patch and params.patch_ops[c] is not None:
-            img = apply_patches(img, params.patch_ops[c])
-        img = apply_filter(img, filter_type, filter_size)
-        c_sol = project_frame(img, params.projections[c])
-        sol = c_sol if sol is None else sol + c_sol
-    sol = jnp.where(params.skipped, jnp.nan, sol)
-    if adjust_overlap:
-        sol = sol[params.superseded_by]
+    sol, _, telemetry = _process_frame_core(
+        frames, params, registration, patch, filter_type, filter_size,
+        interpolation, adjust_overlap,
+    )
     if with_telemetry:
-        return sol, jnp.stack(telemetry)
+        return sol, telemetry
     return sol
 
 
-def make_frame_processor(state: Phase0State, with_telemetry: bool = False):
+def make_frame_processor(state, with_telemetry: bool = False):
     """Bind the phase-0 state + config into a frames->(N,) callable.
 
     ``with_telemetry``: fn returns (intensity, (C, 4) registration record).
@@ -123,28 +155,14 @@ def make_frame_processor(state: Phase0State, with_telemetry: bool = False):
     return fn
 
 
-def make_packed_chunk_processor(
-    state: Phase0State,
-    use_pallas: bool = None,
-    with_telemetry: bool = False,
-    packed_bits: int = 12,
-    lut=None,
-):
-    """Fused ingest: packed camera bytes unpack *on device* then run phase 1.
+def _make_unpacker(packed_bits: int, lut, use_pallas: Optional[bool], image_hw):
+    """(F, C, B) uint8 packed bytes -> (F, C, H, W) uint16 pixels, on device.
 
-    Takes (F, C, B) uint8 packed chunks (B = packed_bits/8 * H * W
-    bytes/frame) and returns (F, N) intensities in one jitted program.
     Shipping packed bytes instead of uint16 frames cuts host->HBM transfer by
     25% (12-bit) or 37.5% (10-bit) (the reference always unpacks on the host:
     cpp/lib/PSPVideo.cpp unpack role).  ``lut``: optional (2**packed_bits,)
-    uint16 linearization table applied on device (cine 10->12 companding —
-    a tiny gather XLA serves from VMEM).
-
-    The Pallas kernel runs on TPU; elsewhere the identical jnp math is used
-    (XLA fuses it into the ingest program).
+    uint16 linearization table applied on device (cine 10->12 companding).
     """
-    import jax as _jax
-
     from upsp_tpu.ops.pallas_unpack import (
         unpack_10bpp_device,
         unpack_10bpp_jnp,
@@ -155,36 +173,151 @@ def make_packed_chunk_processor(
     if packed_bits not in (10, 12):
         raise ValueError(f"packed_bits must be 10 or 12, got {packed_bits}")
     if use_pallas is None:
-        use_pallas = _jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() == "tpu"
     if packed_bits == 12:
         unpack = unpack_12bpp_device if use_pallas else unpack_12bpp_jnp
     else:
         unpack = unpack_10bpp_device if use_pallas else unpack_10bpp_jnp
     lut_dev = None if lut is None else jnp.asarray(lut, jnp.uint16)
-    fn = make_frame_processor(state, with_telemetry=with_telemetry)
-    h, w = state.image_hw
+    h, w = image_hw
 
-    @_jax.jit
-    def process(packed: jax.Array):  # (F, C, B) uint8
+    def unpack_chunk(packed: jax.Array) -> jax.Array:
         n_f, n_c = packed.shape[0], packed.shape[1]
-        flat = packed.reshape(-1)
-        pix = unpack(flat)
+        pix = unpack(packed.reshape(-1))
         if lut_dev is not None:
             pix = lut_dev[pix.astype(jnp.int32)]
-        frames = pix.reshape(n_f, n_c, h, w)
-        return jax.lax.map(fn, frames)
+        return pix.reshape(n_f, n_c, h, w)
+
+    return unpack_chunk
+
+
+def make_chunk_processor(
+    state,
+    mesh=None,
+    warm_start: bool = True,
+    with_telemetry: bool = False,
+    packed: bool = False,
+    packed_bits: int = 12,
+    lut=None,
+    use_pallas: Optional[bool] = None,
+):
+    """Build the chunk program: (F, C, H, W) frames -> (F, N) intensities.
+
+    - ``warm_start``: scan over frames carrying each camera's converged ECC
+      warp into the next frame's solve (temporally coherent vibration =>
+      1-3 iterations instead of 5-15).  NOTE the |drho| < epsilon stopping
+      rule means warm- and identity-started solves agree only within the
+      convergence tolerance, so warm-started intensities depend (within that
+      tolerance) on chunk/shard boundaries; ``warm_start=False`` is the
+      reference's identity-start semantics (registration.cpp:53-64) and is
+      bit-invariant to the device count.
+    - ``mesh``: a 1-D ``jax.sharding.Mesh`` over the ``frames`` axis; the
+      chunk is ``shard_map``-ped so every device scans its own contiguous
+      frame block in parallel — the reference's per-rank frame apportioning
+      (psp_process.cpp:1520-1523) as SPMD.  Chunk length must divide evenly.
+    - ``packed``: input is (F, C, B) uint8 packed camera bytes, unpacked on
+      device before the frame program (ops/pallas_unpack.py).
+    - ``with_telemetry``: returns (intensity, (F, C, 4) registration records).
+    """
+    p = phase1_params(state)
+    cfg = state.config
+    n_cams = int(state.ref_frames.shape[0])
+    static = dict(
+        registration=cfg.registration,
+        patch=(cfg.target_patcher == "polynomial"),
+        filter_type=cfg.filter,
+        filter_size=cfg.filter_size,
+        interpolation=cfg.pixel_interpolation,
+        adjust_overlap=True,
+    )
+    warm = warm_start and cfg.registration == "pixel"
+    unpack_chunk = (
+        _make_unpacker(packed_bits, lut, use_pallas, state.image_hw)
+        if packed
+        else None
+    )
+
+    def local_chunk(chunk: jax.Array):
+        """One device's frame block -> (intensity, telemetry)."""
+        frames = unpack_chunk(chunk) if unpack_chunk is not None else chunk
+        if warm:
+            def body(carry, frame):
+                sol, warps, tele = _process_frame_core(
+                    frame, p, warp_init=carry, **static
+                )
+                return warps, (sol, tele)
+
+            init = jnp.broadcast_to(identity_warp(), (n_cams, 2, 3))
+            _, (sols, teles) = jax.lax.scan(body, init, frames)
+        else:
+            def one(frame):
+                sol, _, tele = _process_frame_core(frame, p, **static)
+                return sol, tele
+
+            sols, teles = jax.lax.map(one, frames)
+        return sols, teles
+
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names
+        fn = jax.shard_map(
+            local_chunk,
+            mesh=mesh,
+            in_specs=P(axis),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+    else:
+        fn = local_chunk
+
+    @jax.jit
+    def process(chunk: jax.Array):
+        sols, teles = fn(chunk)
+        if with_telemetry:
+            return sols, teles
+        return sols
 
     return process
 
 
+def make_packed_chunk_processor(
+    state,
+    use_pallas: bool = None,
+    with_telemetry: bool = False,
+    packed_bits: int = 12,
+    lut=None,
+    mesh=None,
+    warm_start: bool = True,
+):
+    """Fused ingest: packed camera bytes unpack *on device* then run phase 1.
+
+    Takes (F, C, B) uint8 packed chunks (B = packed_bits/8 * H * W
+    bytes/frame) and returns (F, N) intensities in one jitted program.  See
+    :func:`make_chunk_processor` for the scan/shard semantics.
+    """
+    return make_chunk_processor(
+        state,
+        mesh=mesh,
+        warm_start=warm_start,
+        with_telemetry=with_telemetry,
+        packed=True,
+        packed_bits=packed_bits,
+        lut=lut,
+        use_pallas=use_pallas,
+    )
+
+
 def process_frames(
-    state: Phase0State, frames: jax.Array, batched: bool = True
+    state, frames: jax.Array, batched: bool = True
 ) -> jax.Array:
     """(F, C, H, W) frame stack -> (F, N) intensities.
 
     ``lax.map`` serializes over frames inside one XLA program — per-frame
     intermediates (C full images + gradients) never exist for more than one
     frame at a time, which keeps HBM residency flat for long sequences.
+    (Stateless identity-start path, kept as the oracle for the warm-started
+    chunk processor.)
     """
     fn = make_frame_processor(state)
     if not batched:
@@ -200,12 +333,13 @@ class Phase1Outputs(NamedTuple):
 
 
 def phase1_statistics(intensity: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Frame-axis avg and rms (float32 accumulation in f64 like the reference).
+    """Frame-axis avg and rms, accumulated in f64 like the reference.
 
     The reference accumulates partial sums in double to tame round-off
-    (psp_process.cpp:1722-1730); on TPU we pairwise-sum in f32 which has
-    comparable error for these lengths, and tests pin the tolerance.
+    (psp_process.cpp:1722-1730); at 50k frames f32 accumulation loses ~3
+    digits, so both moments promote to f64 and the results come back f32.
     """
-    avg = jnp.mean(intensity, axis=0)
-    rms = jnp.sqrt(jnp.mean(intensity * intensity, axis=0))
+    i64 = intensity.astype(jnp.float64) if jax.config.jax_enable_x64 else intensity
+    avg = jnp.mean(i64, axis=0).astype(jnp.float32)
+    rms = jnp.sqrt(jnp.mean(i64 * i64, axis=0)).astype(jnp.float32)
     return avg, rms

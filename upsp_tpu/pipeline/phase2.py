@@ -40,6 +40,10 @@ class Phase2Outputs(NamedTuple):
     rms: jax.Array  # (nodes,)
     avg: jax.Array  # (nodes,)
     gain: jax.Array  # (nodes,)
+    # inputs surfaced for the steady_state / model_temp output files
+    # (psp_process.cpp:2567-2588); None when the caller supplies its own
+    steady_state: jax.Array = None  # (nodes,) steady Cp
+    model_temp: jax.Array = None  # (nodes,) degF
 
 
 def make_phase2_constants(
@@ -157,6 +161,72 @@ def run_phase2(
     det = make_detrender(n_frames, cfg.degree)
     steady = jnp.asarray(load_steady_cp(cfg, n_nodes, model))
     mtemp = jnp.asarray(compute_model_temperature(cfg, cond, n_nodes, model))
-    return phase2_convert(
+    out = phase2_convert(
         intensity_transpose, sol_avg, coverage, steady, mtemp, const, det
+    )
+    return out._replace(steady_state=steady, model_temp=mtemp)
+
+
+def run_phase2_sharded(
+    cfg,
+    intensity: np.ndarray,  # (frames, nodes) frame-major, from phase 1
+    sol_avg: np.ndarray,
+    coverage: np.ndarray,
+    cond: TunnelConditions,
+    pcal: PaintCalibration,
+    mesh,
+    model=None,
+) -> Phase2Outputs:
+    """Phase 2 over the device mesh: the frames->nodes reshard happens ON
+    DEVICE as one XLA all-to-all over ICI (the reference's global_transpose,
+    psp_process.cpp:707-771), then the node-sharded conversion runs in the
+    same program.
+
+    Both axes pad to device-count multiples (frame pads carry zeros and are
+    sliced off *before* any math; node pads carry coverage 0 so they convert
+    to NaN and are trimmed from the returned arrays).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = int(mesh.devices.size)
+    axis = mesh.axis_names[0]
+    F, N = intensity.shape
+    F_pad = -(-F // n_dev) * n_dev
+    N_pad = -(-N // n_dev) * n_dev
+
+    def pad_nodes(a, fill=0.0):
+        return np.pad(
+            np.asarray(a, np.float32), (0, N_pad - N), constant_values=fill
+        )
+
+    ipad = np.zeros((F_pad, N_pad), np.float32)
+    ipad[:F, :N] = intensity
+    f_sh = NamedSharding(mesh, P(axis))
+    n_sh = NamedSharding(mesh, P(axis))
+
+    const = make_phase2_constants(pcal, cond)
+    det = make_detrender(F, cfg.degree)
+    steady = load_steady_cp(cfg, N, model)
+    mtemp = compute_model_temperature(cfg, cond, N, model)
+
+    intensity_dev = jax.device_put(ipad, f_sh)
+    avg_dev = jax.device_put(pad_nodes(sol_avg), n_sh)
+    cov_dev = jax.device_put(pad_nodes(coverage), n_sh)
+    steady_dev = jax.device_put(pad_nodes(steady), n_sh)
+    mtemp_dev = jax.device_put(pad_nodes(mtemp), n_sh)
+
+    @jax.jit
+    def convert(i_fs, avg, cov, st, mt):
+        it = jax.lax.with_sharding_constraint(i_fs.T, n_sh)  # all-to-all
+        it = it[:, :F]  # drop frame padding before any math
+        return phase2_convert(it, avg, cov, st, mt, const, det)
+
+    out = convert(intensity_dev, avg_dev, cov_dev, steady_dev, mtemp_dev)
+    return Phase2Outputs(
+        pressure_transpose=np.asarray(out.pressure_transpose)[:N],
+        rms=np.asarray(out.rms)[:N],
+        avg=np.asarray(out.avg)[:N],
+        gain=np.asarray(out.gain)[:N],
+        steady_state=jnp.asarray(steady),
+        model_temp=jnp.asarray(mtemp),
     )

@@ -8,6 +8,13 @@ flat files + HDF5 + vv regression dumps.
 Call stack parity: psp_process.cpp main/RunAllPhases (:1330-1435 — studied,
 not copied).  ``checkout=True`` runs phase 0 only, like the reference's cheap
 input-validation mode (psp_process.cpp:1207).
+
+Multi-device execution: pass ``mesh="auto"`` (or a 1-D ``jax.sharding.Mesh``)
+and phase 1 runs ``shard_map``-ped over the frame axis — every device scans
+its own contiguous frame block in parallel (the reference's per-rank
+apportioning, psp_process.cpp:1520-1523) — and phase 2 reshards frames->nodes
+on device via one XLA all-to-all (the reference's global_transpose,
+psp_process.cpp:707-771) before the node-sharded conversion.
 """
 
 from __future__ import annotations
@@ -15,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,12 +31,12 @@ import numpy as np
 from upsp_tpu.io.flatfile import FlatFileSet
 from upsp_tpu.io.paint import PaintCalibration
 from upsp_tpu.io.video import FramePrefetcher, video_reader
-from upsp_tpu.io.wtd import TunnelConditions, read_wtd
+from upsp_tpu.io.wtd import read_wtd
 from upsp_tpu.ops.projection import coverage as proj_coverage
 from upsp_tpu.pipeline.config import ProcessingConfig
 from upsp_tpu.pipeline.phase0 import Phase0State, run_phase0
-from upsp_tpu.pipeline.phase1 import make_frame_processor
-from upsp_tpu.pipeline.phase2 import Phase2Outputs, run_phase2
+from upsp_tpu.pipeline.phase1 import make_chunk_processor
+from upsp_tpu.pipeline.phase2 import Phase2Outputs, run_phase2, run_phase2_sharded
 
 log = logging.getLogger("upsp_tpu")
 
@@ -73,15 +80,111 @@ def _packed_ingest_config(readers, frames_array, device_unpack):
 
 
 def open_videos(cfg: ProcessingConfig):
+    """Open every camera's video; returns (readers, n_frames, start0).
+
+    ``start0`` is the 0-based first frame to process — the deck's 1-based
+    ``start_frame`` key (psp_process.cpp:392-471 stream setup skips to it);
+    the ECC template / reference frame is the first *processed* frame.
+    """
     readers = []
     for cam in cfg.cameras:
         r = video_reader(cam.video)
         r.open()
         readers.append(r)
-    n_frames = min(r.frame_count for r in readers)
+    start0 = max(int(getattr(cfg, "start_frame", 1)) - 1, 0)
+    avail = min(r.frame_count for r in readers) - start0
+    if avail <= 0:
+        raise ValueError(
+            f"start_frame {cfg.start_frame} leaves no frames to process"
+        )
+    n_frames = avail if cfg.frames <= 0 else min(avail, cfg.frames)
+    return readers, n_frames, start0
+
+
+def _apply_frame_window(cfg, frames_array):
+    """Apply the deck's 1-based start_frame + frame count to an array input."""
+    fa_start = max(int(getattr(cfg, "start_frame", 1)) - 1, 0)
+    if fa_start:
+        frames_array = frames_array[fa_start:]
+    if frames_array.shape[0] == 0:
+        raise ValueError(
+            f"start_frame {cfg.start_frame} leaves no frames to process"
+        )
+    n_frames = frames_array.shape[0]
     if cfg.frames > 0:
         n_frames = min(n_frames, cfg.frames)
-    return readers, n_frames
+        frames_array = frames_array[:n_frames]
+    return frames_array, n_frames
+
+
+def _resolve_mesh(mesh):
+    """None | "auto" | Mesh -> Mesh or None (single-device)."""
+    if mesh is None:
+        return None
+    if isinstance(mesh, str):
+        if mesh == "auto":
+            from upsp_tpu.parallel.mesh import make_mesh
+
+            return make_mesh() if len(jax.devices()) > 1 else None
+        if mesh in ("none", ""):
+            return None
+        raise ValueError(f"unknown mesh spec {mesh!r}")
+    return mesh
+
+
+def _camera_settings(readers, cfg, state) -> Dict:
+    """Camera settings for the HDF5 Condition group, from reader properties.
+
+    Parity: psp_process.cpp:1583-1588 (framerate/fstop/exposure from camera 0,
+    focal lengths from the calibrations).
+    """
+    out = dict(
+        focal_lengths=[float(p.fx) for p in state.cam_params],
+        cam_nums=[c.number for c in cfg.cameras],
+    )
+    if readers:
+        r0 = readers[0]
+        out["framerate"] = int(getattr(r0, "frame_rate", 0) or 0)
+        out["fstop"] = float(getattr(r0, "aperture", 0.0) or 0.0)
+        out["exposure"] = float(getattr(r0, "exposure_us", 0.0) or 0.0)
+    return out
+
+
+def _chunk_iter(frames_array, readers, n_frames, start0, frames_per_chunk, packed):
+    """Yield (start, (chunk, C, ...) stacks); background-prefetched from files."""
+    if frames_array is not None:
+        for s in range(0, n_frames, frames_per_chunk):
+            yield s, frames_array[s : s + frames_per_chunk]
+    else:
+        prefetchers = [
+            iter(
+                FramePrefetcher(
+                    r,
+                    n_frames,
+                    start=start0,
+                    frames_per_chunk=frames_per_chunk,
+                    packed=packed,
+                )
+            )
+            for r in readers
+        ]
+        s = 0
+        while s < n_frames:
+            per_cam = [next(p) for p in prefetchers]
+            stack = np.stack(per_cam, axis=1)  # (chunk, C, H, W) | (chunk, C, B)
+            yield s, stack
+            s += stack.shape[0]
+
+
+def _pad_chunk(chunk: np.ndarray, n_dev: int):
+    """Pad the frame axis to a device-count multiple (repeat the last frame)."""
+    valid = chunk.shape[0]
+    pad = (-valid) % n_dev
+    if pad:
+        chunk = np.concatenate(
+            [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0
+        )
+    return chunk, valid
 
 
 def run_datapoint(
@@ -93,6 +196,8 @@ def run_datapoint(
     resume: bool = False,
     device_unpack: str = "auto",
     registration_telemetry: bool = False,
+    mesh=None,
+    warm_start: bool = True,
 ) -> DatapointOutputs:
     """Process one datapoint end to end.
 
@@ -109,20 +214,27 @@ def run_datapoint(
     [rho, iterations, warp_tx, warp_ty] (free — all four fall out of the
     solve), writes it to the ``registration`` flat file (F*C*4 f32), and logs
     a convergence summary for epsilon/iteration-budget tuning.
+    ``mesh``: None (single device), "auto" (all local devices), or a 1-D Mesh
+    — phase 1 shards the frame axis, phase 2 reshards to nodes on device.
+    ``warm_start``: carry each camera's converged ECC warp into the next
+    frame's solve (scan over the chunk; identity at chunk/shard boundaries).
     """
+    mesh = _resolve_mesh(mesh)
     # ---- open video, grab first frames -------------------------------------
+    start0 = 0
     if frames_array is not None:
-        n_frames = frames_array.shape[0]
+        frames_array, n_frames = _apply_frame_window(cfg, frames_array)
         first_frames = [frames_array[0, c] for c in range(frames_array.shape[1])]
         bit_depths = [12] * len(first_frames)
         readers = None
     else:
-        readers, n_frames = open_videos(cfg)
-        first_frames = [r.read_frame(0) for r in readers]
+        readers, n_frames, start0 = open_videos(cfg)
+        first_frames = [r.read_frame(start0) for r in readers]
         bit_depths = [r.bit_depth for r in readers]
 
     # ---- phase 0 ------------------------------------------------------------
     state = run_phase0(cfg, first_frames, bit_depths)
+    camset = _camera_settings(readers, cfg, state)
     if checkout:
         if readers:
             for r in readers:
@@ -142,22 +254,30 @@ def run_datapoint(
             if readers:
                 for r in readers:
                     r.close()
-            return _finish_from_intensity(cfg, state, intensity, write_outputs)
+            return _finish_from_intensity(
+                cfg, state, intensity, write_outputs, mesh=mesh, camset=camset
+            )
         log.info("resume requested but no consistent intensity file; running")
 
     use_packed, packed_kw = _packed_ingest_config(readers, frames_array, device_unpack)
+    fn = make_chunk_processor(
+        state,
+        mesh=mesh,
+        warm_start=warm_start,
+        with_telemetry=registration_telemetry,
+        packed=use_packed,
+        **packed_kw,
+    )
     if use_packed:
-        from upsp_tpu.pipeline.phase1 import make_packed_chunk_processor
-
-        fn = make_packed_chunk_processor(
-            state, with_telemetry=registration_telemetry, **packed_kw
-        )
         log.info(
             "phase1: on-device packed-byte ingest enabled (%d-bit)",
             packed_kw["packed_bits"],
         )
-    else:
-        fn = make_frame_processor(state, with_telemetry=registration_telemetry)
+    if mesh is not None:
+        log.info(
+            "phase1: frame axis sharded over %d devices (%s)",
+            mesh.devices.size, mesh.axis_names[0],
+        )
     intensity = np.empty((n_frames, n_nodes), np.float32)
     n_cams = len(cfg.cameras) if frames_array is None else frames_array.shape[1]
     reg_telemetry = (
@@ -166,36 +286,21 @@ def run_datapoint(
         else None
     )
 
-    def chunks():
-        if frames_array is not None:
-            for s in range(0, n_frames, frames_per_chunk):
-                yield s, frames_array[s : s + frames_per_chunk]
-        else:
-            prefetchers = [
-                iter(
-                    FramePrefetcher(
-                        r,
-                        n_frames,
-                        frames_per_chunk=frames_per_chunk,
-                        packed=use_packed,
-                    )
-                )
-                for r in readers
-            ]
-            s = 0
-            while s < n_frames:
-                per_cam = [next(p) for p in prefetchers]
-                stack = np.stack(per_cam, axis=1)  # (chunk, C, H, W) | (chunk, C, B)
-                yield s, stack
-                s += stack.shape[0]
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    from upsp_tpu.parallel.mesh import frame_sharding
 
-    for start, chunk in chunks():
+    for start, chunk in _chunk_iter(
+        frames_array, readers, n_frames, start0, frames_per_chunk, use_packed
+    ):
+        chunk, valid = _pad_chunk(np.asarray(chunk), n_dev)
         batch = jnp.asarray(chunk)
-        out = fn(batch) if use_packed else jax.lax.map(fn, batch)
+        if mesh is not None:
+            batch = jax.device_put(batch, frame_sharding(mesh))
+        out = fn(batch)
         if registration_telemetry:
             out, tele = out
-            reg_telemetry[start : start + chunk.shape[0]] = np.asarray(tele)
-        intensity[start : start + chunk.shape[0]] = np.asarray(out)
+            reg_telemetry[start : start + valid] = np.asarray(tele)[:valid]
+        intensity[start : start + valid] = np.asarray(out)[:valid]
         if start % (frames_per_chunk * 8) == 0:
             log.info("phase1: processed frame %d / %d", start, n_frames)
 
@@ -215,7 +320,9 @@ def run_datapoint(
             os.makedirs(cfg.out_dir, exist_ok=True)
             FlatFileSet(cfg.out_dir).write("registration", reg_telemetry)
 
-    return _finish_from_intensity(cfg, state, intensity, write_outputs)
+    return _finish_from_intensity(
+        cfg, state, intensity, write_outputs, mesh=mesh, camset=camset
+    )
 
 
 def run_datapoint_streaming(
@@ -225,6 +332,8 @@ def run_datapoint_streaming(
     frames_array: Optional[np.ndarray] = None,
     device_unpack: str = "auto",
     write_hdf5: bool = True,
+    mesh=None,
+    warm_start: bool = True,
 ) -> DatapointOutputs:
     """Out-of-core datapoint processing for runs larger than host RAM.
 
@@ -239,6 +348,8 @@ def run_datapoint_streaming(
     ``write_hdf5``: also emit the ``.h5`` pressure-history file, incrementally
     per node block — the (nodes, frames) dataset never materializes in RAM
     (write_frames_block at a node offset; same layout as the in-memory path).
+    ``mesh``/``warm_start``: as in :func:`run_datapoint` (phase 1 shards the
+    frame axis; phase 2 here is the disk-blocked path, node blocks in order).
     """
     from upsp_tpu import native
     from upsp_tpu.io.flatfile import FlatFileSet, read_flat
@@ -251,25 +362,28 @@ def run_datapoint_streaming(
     )
 
     assert cfg.out_dir, "streaming mode requires an output directory"
+    mesh = _resolve_mesh(mesh)
+    start0 = 0
     if frames_array is not None:
-        n_frames = frames_array.shape[0]
+        frames_array, n_frames = _apply_frame_window(cfg, frames_array)
         first_frames = [frames_array[0, c] for c in range(frames_array.shape[1])]
         bit_depths = [12] * len(first_frames)
         readers = None
     else:
-        readers, n_frames = open_videos(cfg)
-        first_frames = [r.read_frame(0) for r in readers]
+        readers, n_frames, start0 = open_videos(cfg)
+        first_frames = [r.read_frame(start0) for r in readers]
         bit_depths = [r.bit_depth for r in readers]
 
     state = run_phase0(cfg, first_frames, bit_depths)
+    camset = _camera_settings(readers, cfg, state)
     n_nodes = state.model.size
     use_packed, packed_kw = _packed_ingest_config(readers, frames_array, device_unpack)
-    if use_packed:
-        from upsp_tpu.pipeline.phase1 import make_packed_chunk_processor
-
-        packed_fn = make_packed_chunk_processor(state, **packed_kw)
-    fn = make_frame_processor(state)
+    fn = make_chunk_processor(
+        state, mesh=mesh, warm_start=warm_start, packed=use_packed, **packed_kw
+    )
     ffs = FlatFileSet(cfg.out_dir)
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    from upsp_tpu.parallel.mesh import frame_sharding
 
     sum_i = np.zeros(n_nodes, np.float64)
     sumsq_i = np.zeros(n_nodes, np.float64)
@@ -277,42 +391,20 @@ def run_datapoint_streaming(
 
     writer = native.AsyncWriter(ffs.path("intensity"))
     try:
-        if frames_array is not None:
-            chunk_iter = (
-                (s, frames_array[s : s + frames_per_chunk])
-                for s in range(0, n_frames, frames_per_chunk)
-            )
-        else:
-            prefetchers = [
-                iter(
-                    FramePrefetcher(
-                        r,
-                        n_frames,
-                        frames_per_chunk=frames_per_chunk,
-                        packed=use_packed,
-                    )
-                )
-                for r in readers
-            ]
-
-            def gen():
-                s = 0
-                while s < n_frames:
-                    per_cam = [next(p) for p in prefetchers]
-                    stack = np.stack(per_cam, axis=1)
-                    yield s, stack
-                    s += stack.shape[0]
-
-            chunk_iter = gen()
-        for start, chunk in chunk_iter:
+        for start, chunk in _chunk_iter(
+            frames_array, readers, n_frames, start0, frames_per_chunk, use_packed
+        ):
+            chunk, valid = _pad_chunk(np.asarray(chunk), n_dev)
             batch = jnp.asarray(chunk)
-            out = np.asarray(
-                packed_fn(batch) if use_packed else jax.lax.map(fn, batch)
-            )
+            if mesh is not None:
+                batch = jax.device_put(batch, frame_sharding(mesh))
+            out = np.asarray(fn(batch))[:valid]
             writer.submit(start * n_nodes * 4, out.astype("<f4"))
             with np.errstate(invalid="ignore"):
-                sum_i += np.nansum(out, axis=0)
-                sumsq_i += np.nansum(out.astype(np.float64) ** 2, axis=0)
+                sum_i += np.nansum(out, axis=0, dtype=np.float64)
+                sumsq_i += np.einsum(
+                    "fn,fn->n", out, out, dtype=np.float64
+                )
             if start == 0:
                 ratio0_src = out[0].copy()
     finally:
@@ -361,10 +453,7 @@ def run_datapoint_streaming(
             )
             h5w.write_grid(cfg.grid_units)
             h5w.write_tunnel_conditions(cond)
-            h5w.write_camera_settings(
-                focal_lengths=[float(p.fx) for p in state.cam_params],
-                cam_nums=[c.number for c in cfg.cameras],
-            )
+            h5w.write_camera_settings(**camset)
         except ImportError:
             log.warning("h5py unavailable; skipped HDF5 output")
 
@@ -395,10 +484,13 @@ def run_datapoint_streaming(
             rms_all[n0 : n0 + nw] = np.asarray(out2.rms)
             avg_all[n0 : n0 + nw] = np.asarray(out2.avg)
             gain_all[n0 : n0 + nw] = np.asarray(out2.gain)
+        steady_out = _steady_for_output(steady)
         if h5w is not None:
             h5w.write_new_dataset("rms", rms_all, "delta Cp")
             h5w.write_new_dataset("average", avg_all, "delta Cp")
             h5w.write_new_dataset("coverage", cov)
+            h5w.write_new_dataset("steady_state", steady_out, "Cp")
+            h5w.write_new_dataset("model_temp", mtemp, "F")
     finally:
         pwriter.close()
         if h5w is not None:
@@ -412,9 +504,14 @@ def run_datapoint_streaming(
             "intensity_ratio_0": ratio0,
             "coverage": cov,
         },
-        {"avg": avg_all, "rms": rms_all, "gain": gain_all},
+        {
+            "avg": avg_all,
+            "rms": rms_all,
+            "gain": gain_all,
+            "steady_state": steady_out,
+            "model_temp": mtemp,
+        },
     )
-    from upsp_tpu.pipeline.phase2 import Phase2Outputs
 
     return DatapointOutputs(
         state=state,
@@ -425,9 +522,17 @@ def run_datapoint_streaming(
         phase2=Phase2Outputs(
             pressure_transpose=None, rms=jnp.asarray(rms_all),
             avg=jnp.asarray(avg_all), gain=jnp.asarray(gain_all),
+            steady_state=jnp.asarray(steady), model_temp=jnp.asarray(mtemp),
         ),
         n_frames=n_frames,
     )
+
+
+def _steady_for_output(steady: np.ndarray) -> np.ndarray:
+    """Steady Cp output rule: values > 3.0 write as NaN (psp_process.cpp:2567-
+    2572); the gain computation keeps the raw values."""
+    s = np.asarray(steady, np.float32)
+    return np.where(s > 3.0, np.nan, s)
 
 
 def _finish_from_intensity(
@@ -435,14 +540,19 @@ def _finish_from_intensity(
     state: Phase0State,
     intensity: np.ndarray,
     write_outputs: bool,
+    mesh=None,
+    camset: Optional[Dict] = None,
 ) -> DatapointOutputs:
     """Statistics + coverage + phase 2 + outputs, from a (F, N) intensity."""
     n_frames = intensity.shape[0]
     with np.errstate(invalid="ignore"):
-        sol_avg = intensity.mean(axis=0)
-        sol_rms = np.sqrt((intensity.astype(np.float64) ** 2).mean(axis=0)).astype(
-            np.float32
-        )
+        # f64 accumulation for both moments (reference reduces doubles,
+        # psp_process.cpp:1725-1730, 2530-2546)
+        sol_avg = intensity.mean(axis=0, dtype=np.float64).astype(np.float32)
+        sol_rms = np.sqrt(
+            np.einsum("fn,fn->n", intensity, intensity, dtype=np.float64)
+            / n_frames
+        ).astype(np.float32)
     cov = np.asarray(proj_coverage(state.projections, *state.image_hw))
     # overlap adjustment: superseded nodes mirror their primary's coverage
     cov = cov[state.model.superseded_by]
@@ -458,19 +568,27 @@ def _finish_from_intensity(
         cond.run = cfg.run
         cond.seq = cfg.sequence
         pcal = PaintCalibration.read(cfg.paint_cal)
-        phase2 = run_phase2(
-            cfg,
-            jnp.asarray(intensity.T),  # (N, F) node-major
-            jnp.asarray(sol_avg),
-            jnp.asarray(cov),
-            cond,
-            pcal,
-            model=state.model,
-        )
+        if mesh is not None:
+            phase2 = run_phase2_sharded(
+                cfg, intensity, sol_avg, cov, cond, pcal, mesh,
+                model=state.model,
+            )
+        else:
+            phase2 = run_phase2(
+                cfg,
+                jnp.asarray(intensity.T),  # (N, F) node-major
+                jnp.asarray(sol_avg),
+                jnp.asarray(cov),
+                cond,
+                pcal,
+                model=state.model,
+            )
 
     # ---- outputs ------------------------------------------------------------
     if write_outputs and cfg.out_dir:
-        _write_outputs(cfg, state, intensity, sol_avg, sol_rms, ratio0, cov, phase2)
+        _write_outputs(
+            cfg, state, intensity, sol_avg, sol_rms, ratio0, cov, phase2, camset
+        )
 
     return DatapointOutputs(
         state=state,
@@ -483,7 +601,9 @@ def _finish_from_intensity(
     )
 
 
-def _write_outputs(cfg, state, intensity, sol_avg, sol_rms, ratio0, cov, phase2):
+def _write_outputs(
+    cfg, state, intensity, sol_avg, sol_rms, ratio0, cov, phase2, camset=None
+):
     ffs = FlatFileSet(cfg.out_dir)
     p1 = {
         "intensity": intensity,
@@ -493,6 +613,7 @@ def _write_outputs(cfg, state, intensity, sol_avg, sol_rms, ratio0, cov, phase2)
         "coverage": cov,
     }
     p2 = None
+    steady_out = mtemp = None
     if phase2 is not None:
         p2 = {
             "pressure_transpose": np.asarray(phase2.pressure_transpose),
@@ -500,6 +621,12 @@ def _write_outputs(cfg, state, intensity, sol_avg, sol_rms, ratio0, cov, phase2)
             "rms": np.asarray(phase2.rms),
             "gain": np.asarray(phase2.gain),
         }
+        if phase2.steady_state is not None:
+            steady_out = _steady_for_output(np.asarray(phase2.steady_state))
+            p2["steady_state"] = steady_out
+        if phase2.model_temp is not None:
+            mtemp = np.asarray(phase2.model_temp)
+            p2["model_temp"] = mtemp
     ffs.write_standard_outputs(state.model, p1, p2)
 
     if phase2 is not None:
@@ -520,12 +647,18 @@ def _write_outputs(cfg, state, intensity, sol_avg, sol_rms, ratio0, cov, phase2)
                 w.write_grid(cfg.grid_units)
                 w.write_tunnel_conditions(cond)
                 w.write_camera_settings(
-                    focal_lengths=[float(p.fx) for p in state.cam_params],
-                    cam_nums=[c.number for c in cfg.cameras],
+                    **(camset or dict(
+                        focal_lengths=[float(p.fx) for p in state.cam_params],
+                        cam_nums=[c.number for c in cfg.cameras],
+                    ))
                 )
                 w.write_frames_block(np.asarray(phase2.pressure_transpose))
                 w.write_new_dataset("rms", np.asarray(phase2.rms), "delta Cp")
                 w.write_new_dataset("average", np.asarray(phase2.avg), "delta Cp")
                 w.write_new_dataset("coverage", cov)
+                if steady_out is not None:
+                    w.write_new_dataset("steady_state", steady_out, "Cp")
+                if mtemp is not None:
+                    w.write_new_dataset("model_temp", mtemp, "F")
         except ImportError:
             log.warning("h5py unavailable; skipped HDF5 output")
