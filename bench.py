@@ -34,15 +34,23 @@ FALLBACK_REFERENCE_FPS = 1.1
 
 
 def bench_tpu() -> float:
-    from upsp_tpu.pipeline.phase1 import make_frame_processor
+    from upsp_tpu.pipeline.phase1 import make_chunk_processor
     from upsp_tpu.pipeline.synthetic import make_frame_batch, make_synthetic_state
 
     state = make_synthetic_state(
         n_cameras=1, image_hw=IMAGE_HW, grid_shape=GRID_SHAPE
     )
-    step = make_frame_processor(state)
-    # production shape: one dispatch maps the fused step over the frame batch
-    batch_fn = jax.jit(lambda fr: jax.lax.map(step, fr))
+    # production shape (the run_datapoint default): phase-correlation ECC
+    # init + 2 fixed Gauss-Newton steps, vmapped 8 frames per step —
+    # deterministic across shardings and dense on device.
+    # BENCH_MODE overrides: fft (default) | scan | cold.
+    mode = os.environ.get("BENCH_MODE", "fft")
+    warm = {"fft": "fft", "scan": True, "cold": False}[mode]
+    batch_fn = make_chunk_processor(
+        state,
+        warm_start=warm,
+        frame_batch=int(os.environ.get("BENCH_FRAME_BATCH", "8")) if mode == "fft" else 1,
+    )
     # host-side synthesis is ~6 s/frame at 1 MP (bilinear sub-pixel jitter on
     # 2 cores); tile 8 distinct jittered frames to N_FRAMES — per-frame device
     # work (ECC iterations on distinct sub-pixel shifts) is unchanged

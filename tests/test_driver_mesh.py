@@ -334,6 +334,102 @@ class TestSteadyModelTempOutputs:
         np.testing.assert_allclose(mt, np.asarray(out.phase2.model_temp))
 
 
+class TestUnstructuredGrid:
+    def test_component_assignment_vectorized(self):
+        """First-triangle-wins per-node component matches the loop oracle."""
+        from upsp_tpu.geometry.grids import from_tri_mesh
+        from upsp_tpu.io.cart3d import TriMesh
+
+        rng = np.random.default_rng(11)
+        n, t = 40, 120
+        verts = rng.normal(size=(n, 3)).astype(np.float32)
+        tris = rng.integers(0, n, size=(t, 3)).astype(np.int32)
+        comps = rng.integers(1, 5, size=t).astype(np.int32)
+        model = from_tri_mesh(TriMesh(vertices=verts, triangles=tris,
+                                      components=comps))
+        oracle = np.zeros(n, np.int32)
+        seen = np.zeros(n, bool)
+        for ti in range(t):
+            for k in range(3):
+                v = tris[ti, k]
+                if not seen[v]:
+                    oracle[v] = comps[ti]
+                    seen[v] = True
+        np.testing.assert_array_equal(model.components, oracle)
+
+    def _tri_plate(self):
+        """Triangulated two-component plate inside the camera frustum."""
+        from upsp_tpu.io.cart3d import TriMesh
+
+        grid = make_plate_grid(17, 13, lx=4.5, ly=3.8)
+        verts = np.stack([grid.x + 5.2, grid.y, grid.z], axis=1).astype(
+            np.float32
+        )
+        tris = grid.triangles()
+        centers = verts[tris].mean(axis=1)
+        comps = np.where(centers[:, 0] > 7.5, 2, 1).astype(np.int32)
+        return TriMesh(vertices=verts, triangles=tris, components=comps)
+
+    def test_triq_datapoint_e2e(self, tmp_path):
+        """Full run_datapoint on an unstructured .triq grid, mesh-sharded."""
+        from upsp_tpu.io.cart3d import write_triq
+        from upsp_tpu.io.flatfile import read_flat
+
+        mesh_tri = self._tri_plate()
+        tri_path = str(tmp_path / "model.triq")
+        write_triq(tri_path, mesh_tri)
+
+        _, cam_path, wtd_path, paint_path = _write_inputs(tmp_path)
+        from upsp_tpu.pipeline.config import CameraInputs, ProcessingConfig
+
+        cfg = ProcessingConfig(
+            test_id="tri", run=1, sequence=1,
+            cameras=[CameraInputs(number=1, calibration=cam_path)],
+            grid=tri_path, sds=wtd_path, paint_cal=paint_path,
+            registration="none", target_patcher="none",
+            out_dir=str(tmp_path / "out"),
+        )
+        frames = _frames(10)
+        out = run_datapoint(cfg, frames_array=frames, mesh=make_mesh())
+        assert out.state.model.size == mesh_tri.size
+        assert set(np.unique(out.state.model.components)) == {1, 2}
+        vis = np.array(out.state.projections[0].visible)
+        assert vis.sum() > 50
+        dcp = np.asarray(out.phase2.pressure_transpose)
+        assert np.isfinite(dcp[vis]).all()
+        assert (tmp_path / "out" / "pressure_transpose").exists()
+        # X flat file carries the tri vertices
+        np.testing.assert_allclose(
+            read_flat(str(tmp_path / "out" / "X")), mesh_tri.vertices[:, 0]
+        )
+
+    def test_triq_active_comps(self, tmp_path):
+        """active_comps masks tri-grid components end to end."""
+        from upsp_tpu.io.cart3d import write_triq
+
+        mesh_tri = self._tri_plate()
+        tri_path = str(tmp_path / "model.triq")
+        write_triq(tri_path, mesh_tri)
+        comps_csv = str(tmp_path / "comps.csv")
+        with open(comps_csv, "w") as fh:
+            fh.write("component,active\n1,1\n2,0\n")
+        _, cam_path, wtd_path, paint_path = _write_inputs(tmp_path)
+        from upsp_tpu.pipeline.config import CameraInputs, ProcessingConfig
+
+        cfg = ProcessingConfig(
+            test_id="tri", run=1, sequence=1,
+            cameras=[CameraInputs(number=1, calibration=cam_path)],
+            grid=tri_path, sds=wtd_path, paint_cal=paint_path,
+            registration="none", target_patcher="none",
+            active_comps=comps_csv,
+        )
+        frames = _frames(6)
+        out = run_datapoint(cfg, frames_array=frames, write_outputs=False)
+        comp2 = np.asarray(out.state.model.components) == 2
+        assert comp2.any()
+        assert np.isnan(out.intensity[0][comp2]).all()
+
+
 class TestCameraSettings:
     def test_from_reader_properties(self):
         from upsp_tpu.pipeline.run import _camera_settings

@@ -90,6 +90,12 @@ def integrate_panels(op: jax.Array, cp: jax.Array) -> FoMo:
     )
 
 
+def coverage_mask_from_pressure(frame0: np.ndarray) -> np.ndarray:
+    """(N,) bool data mask: finite pressure == node has data (NaN = skipped,
+    matching the NaN-fill convention of phase 1/2)."""
+    return np.isfinite(np.asarray(frame0))
+
+
 def integrate_time_history(
     op: jax.Array, pressure_transpose: jax.Array
 ) -> jax.Array:

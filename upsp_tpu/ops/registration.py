@@ -124,7 +124,7 @@ def ecc_affine_pyramid(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "gauss_size", "return_iters")
+    jax.jit, static_argnames=("max_iters", "gauss_size", "return_iters", "unroll")
 )
 def ecc_affine(
     ref: jax.Array,
@@ -134,6 +134,7 @@ def ecc_affine(
     gauss_size: int = 5,
     warp_init: jax.Array | None = None,
     return_iters: bool = False,
+    unroll: bool = False,
 ):
     """Estimate the 2x3 affine warp aligning ``inp`` to ``ref`` by ECC maximization.
 
@@ -146,7 +147,7 @@ def ecc_affine(
     """
     init = identity_warp() if warp_init is None else warp_init
     out = _ecc_core(ref, inp, init, max_iters=max_iters,
-                    epsilon=epsilon, gauss_size=gauss_size)
+                    epsilon=epsilon, gauss_size=gauss_size, unroll=unroll)
     return out if return_iters else out[:2]
 
 
@@ -157,6 +158,7 @@ def _ecc_core(
     max_iters: int = 50,
     epsilon: float = 1e-3,
     gauss_size: int = 5,
+    unroll: bool = False,
 ):
     dtype = jnp.float32
     tmpl = gaussian_blur(ref.astype(dtype), gauss_size)
@@ -166,7 +168,6 @@ def _ecc_core(
     ys, xs = jnp.meshgrid(
         jnp.arange(H, dtype=dtype), jnp.arange(W, dtype=dtype), indexing="ij"
     )
-    tmpl_flat = tmpl.reshape(-1)
 
     def body(state):
         warp, rho_prev, drho, it = state
@@ -179,8 +180,8 @@ def _ecc_core(
         gix, giy = _gradients(iw)
         A = warp[:, :2]
         Ainv_T = jnp.linalg.inv(A).T
-        gxw = Ainv_T[0, 0] * gix + Ainv_T[0, 1] * giy
-        gyw = Ainv_T[1, 0] * gix + Ainv_T[1, 1] * giy
+        gx = Ainv_T[0, 0] * gix + Ainv_T[0, 1] * giy
+        gy = Ainv_T[1, 0] * gix + Ainv_T[1, 1] * giy
 
         # validity mask: pixels whose warped sample lies fully in-bounds.
         # All statistics/projections are restricted to it (findTransformECC
@@ -188,47 +189,78 @@ def _ecc_core(
         # drags the mean and diverges the solve.
         m = warp_validity_mask((H, W), warp)
         area = jnp.maximum(jnp.sum(m), 1.0)
-        mf = m.reshape(-1)
+        gx = gx * m
+        gy = gy * m
 
-        t_mean = jnp.sum(tmpl_flat * mf) / area
-        tmpl_zm = (tmpl_flat - t_mean) * mf
-        tmpl_norm = jnp.maximum(jnp.linalg.norm(tmpl_zm), 1e-12)
+        t_mean = jnp.sum(tmpl * m) / area
+        t_zm = (tmpl - t_mean) * m
+        tmpl_norm = jnp.maximum(jnp.sqrt(jnp.sum(t_zm * t_zm)), 1e-12)
+        i_mean = jnp.sum(iw * m) / area
+        i_zm = (iw - i_mean) * m
 
-        iw_flat = iw.reshape(-1) * mf
-        i_mean = jnp.sum(iw_flat) / area
-        iw_zm = (iw_flat - i_mean) * mf
+        # The steepest-descent images for p = [a00 a10 a01 a11 tx ty] are
+        # G = [gx*x, gy*x, gx*y, gy*y, gx, gy].  Materializing G (a (HW, 6)
+        # matrix) costs 24 MB/frame of HBM traffic at 1 MP; every entry of
+        # G^T G and every projection G^T z is instead a fused monomial-
+        # weighted reduction over {gx*gx, gx*gy, gy*gy} — XLA fuses the lot
+        # into ~2 passes over the gradient images (measured ~2x on the whole
+        # solve at 1 MP).
+        gxx, gxy, gyy = gx * gx, gx * gy, gy * gy
 
-        # steepest-descent images for p = [a00 a10 a01 a11 tx ty]
-        G = jnp.stack(
+        def mom(im):
+            return (
+                jnp.sum(im * xs * xs), jnp.sum(im * xs * ys),
+                jnp.sum(im * ys * ys), jnp.sum(im * xs),
+                jnp.sum(im * ys), jnp.sum(im),
+            )
+
+        a_xx, a_xy, a_yy, a_x, a_y, a_1 = mom(gxx)
+        b_xx, b_xy, b_yy, b_x, b_y, b_1 = mom(gxy)
+        c_xx, c_xy, c_yy, c_x, c_y, c_1 = mom(gyy)
+        Hmat = jnp.array(
             [
-                (gxw * xs).reshape(-1),
-                (gyw * xs).reshape(-1),
-                (gxw * ys).reshape(-1),
-                (gyw * ys).reshape(-1),
-                gxw.reshape(-1),
-                gyw.reshape(-1),
+                [a_xx, b_xx, a_xy, b_xy, a_x, b_x],
+                [b_xx, c_xx, b_xy, c_xy, b_x, c_x],
+                [a_xy, b_xy, a_yy, b_yy, a_y, b_y],
+                [b_xy, c_xy, b_yy, c_yy, b_y, c_y],
+                [a_x, b_x, a_y, b_y, a_1, b_1],
+                [b_x, c_x, b_y, c_y, b_1, c_1],
             ],
-            axis=1,
-        ) * mf[:, None]  # (n_pix, 6)
+            dtype,
+        )
 
-        Hmat = G.T @ G  # (6,6) — MXU
-        Hinv = jnp.linalg.inv(Hmat + 1e-12 * jnp.eye(6, dtype=dtype))
-        i_proj = G.T @ iw_zm
-        t_proj = G.T @ tmpl_zm
-        iw_norm2 = jnp.dot(iw_zm, iw_zm)
-        corr = jnp.dot(tmpl_zm, iw_zm)
+        def proj(z):
+            return jnp.array(
+                [
+                    jnp.sum(gx * xs * z), jnp.sum(gy * xs * z),
+                    jnp.sum(gx * ys * z), jnp.sum(gy * ys * z),
+                    jnp.sum(gx * z), jnp.sum(gy * z),
+                ],
+                dtype,
+            )
+
+        # scale-aware Tikhonov: keeps the solve finite when the warp walks
+        # off the image and the masked Hessian degenerates (the reference's
+        # cv2 throws in that case; we freeze on the last finite iterate)
+        reg = 1e-9 * jnp.trace(Hmat) / 6.0 + 1e-12
+        Hinv = jnp.linalg.inv(Hmat + reg * jnp.eye(6, dtype=dtype))
+        i_proj = proj(i_zm)
+        t_proj = proj(t_zm)
+        iw_norm2 = jnp.sum(i_zm * i_zm)
+        corr = jnp.sum(t_zm * i_zm)
 
         num = iw_norm2 - i_proj @ Hinv @ i_proj
         den = corr - t_proj @ Hinv @ i_proj
         lam = num / jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
-        err = lam * tmpl_zm - iw_zm
-        dp = Hinv @ (G.T @ err)
+        dp = Hinv @ proj(lam * t_zm - i_zm)
 
         dwarp = jnp.array(
             [[dp[0], dp[2], dp[4]], [dp[1], dp[3], dp[5]]], dtype
         )
         new_warp = warp + dwarp
+        new_warp = jnp.where(jnp.isfinite(new_warp), new_warp, warp)
         rho = corr / jnp.maximum(tmpl_norm * jnp.sqrt(iw_norm2), 1e-12)
+        rho = jnp.where(jnp.isfinite(rho), rho, jnp.asarray(-1.0, dtype))
         return new_warp, rho, jnp.abs(rho - rho_prev), it + 1
 
     def cond(state):
@@ -241,6 +273,18 @@ def _ecc_core(
         jnp.asarray(jnp.inf, dtype),
         0,
     )
+    if unroll:
+        # fixed iteration count, statically unrolled: no data-dependent
+        # control flow, so the whole solve vmaps over a frame batch (the
+        # while_loop version does not vmap usefully — all lanes run to the
+        # slowest).  Pair with a phase-correlation init (ops/fftreg.py):
+        # Gauss-Newton converges quadratically from inside the basin, so
+        # max_iters=2-3 reaches the while_loop fixed point.
+        state = init
+        for _ in range(max_iters):
+            state = body(state)
+        warp, rho, _, iters = state
+        return warp, rho, iters
     warp, rho, _, iters = jax.lax.while_loop(cond, body, init)
     return warp, rho, iters
 

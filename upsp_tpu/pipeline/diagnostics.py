@@ -59,10 +59,15 @@ def add_targets_overlay(
     labels: Optional[Sequence[str]] = None,
     radius: int = 4,
 ) -> np.ndarray:
-    """Draw circles (+ optional labels) over a grayscale image -> BGR."""
+    """Draw circles (+ optional labels) over a grayscale/BGR image -> BGR."""
     import cv2
 
-    out = cv2.cvtColor(np.asarray(img8, np.uint8), cv2.COLOR_GRAY2BGR)
+    img8 = np.asarray(img8, np.uint8)
+    out = (
+        img8.copy()
+        if img8.ndim == 3
+        else cv2.cvtColor(img8, cv2.COLOR_GRAY2BGR)
+    )
     for i, (x, y) in enumerate(np.atleast_2d(centers)):
         cv2.circle(out, (int(round(x)), int(round(y))), radius, color, 1)
         if labels is not None:
@@ -105,6 +110,34 @@ def write_phase0_diagnostics(state, out_dir: str) -> None:
 
         cam_cov = np.asarray(_coverage([proj], *state.image_hw))
         cam_cov.astype("<f4").tofile(prefix + "coverage")
+
+        diag = (
+            state.patch_diags[c]
+            if getattr(state, "patch_diags", None) is not None
+            else None
+        )
+        if diag is not None:
+            # projected fiducial positions, labeled green (psp_process.cpp:
+            # 2113-2116)
+            fid_img = add_targets_overlay(
+                img8, diag["uv"], color=(0, 255, 0), labels=diag["names"]
+            )
+            cv2.imwrite(prefix + "8bit-projected-fiducials.png", fid_img)
+            # clusters in distinct colors, unlabeled (:2136-2145)
+            cl = np.asarray(diag["cluster_of"])
+            n_cl = int(cl.max()) + 1 if cl.size else 0
+            cimg = cv2.cvtColor(img8, cv2.COLOR_GRAY2BGR)
+            rng_colors = [
+                tuple(int(v) for v in col)
+                for col in np.random.default_rng(0).integers(
+                    64, 255, size=(max(n_cl, 1), 3)
+                )
+            ]
+            for gi in range(n_cl):
+                cimg = add_targets_overlay(
+                    cimg, diag["uv"][cl == gi], color=rng_colors[gi]
+                )
+            cv2.imwrite(prefix + "8bit-fiducial-clusters.png", cimg)
 
         op = state.patch_ops[c]
         if op is not None:

@@ -57,6 +57,10 @@ class Phase0State:
     superseded_by: jax.Array  # (N,) int32 overlap-adjustment gather
     image_hw: Tuple[int, int]
     config: ProcessingConfig
+    # per-camera fiducial diagnostics: {"uv": (M,2), "cluster_of": (M,),
+    # "names": [str]} or None — feeds the projected-fiducials / clusters
+    # overlay images (psp_process.cpp:2113-2145)
+    patch_diags: Optional[List[Optional[dict]]] = None
 
     @property
     def n_nodes(self) -> int:
@@ -180,34 +184,52 @@ def build_patcher_for_camera(
     bit_depth: int = 12,
     max_leaf: int = 4,
     flat_bvh: Optional[FlatBVH] = None,
-) -> Optional[PatchOperator]:
+):
     """InitializeImagePatches parity: visible targets+fiducials -> clusters ->
-    boundary threshold -> composed patch operator."""
+    boundary threshold -> composed patch operator.
+
+    Returns (PatchOperator | None, diagnostics | None); diagnostics carries
+    the projected fiducial positions + cluster assignment for the overlay
+    images (psp_process.cpp:2113-2145)."""
     targs = read_tgts(targets_file)
     fids = read_tgts(targets_file, section="*Fiducials")
     all_t = targs + fids
     if not all_t:
-        return None
+        return None, None
     # patching visibility uses a slightly wider oblique threshold
     oblique = min(cfg.oblique_angle + 5.0, 90.0)
     vis = visible_targets(all_t, params, bvh_dev, model, oblique, image_hw,
                           max_leaf=max_leaf, flat_bvh=flat_bvh)
     if not vis:
-        return None
+        return None, None
     diams = target_image_diameters(vis, params, model, image_hw)
     diams = diams * cfg.target_diam_sf
     keep = diams > 0
+    vis_kept = [t for t, k in zip(vis, keep) if k]
     uv = np.stack([t.uv for t in vis])[keep]
     diams = diams[keep]
     if uv.shape[0] == 0:
-        return None
+        return None, None
+    from upsp_tpu.ops.patching import cluster_targets
+
+    groups = cluster_targets(
+        uv, diams, cfg.bound_thickness + cfg.buffer_thickness
+    )
+    cluster_of = np.zeros(uv.shape[0], np.int32)
+    for gi, g in enumerate(groups):
+        cluster_of[g] = gi
+    diag = {
+        "uv": uv,
+        "cluster_of": cluster_of,
+        "names": [str(getattr(t, "idx", i)) for i, t in enumerate(vis_kept)],
+    }
     clusters = build_patch_clusters(
         uv, diams, image_hw, bound_pts=cfg.bound_thickness,
         buffer=cfg.buffer_thickness,
     )
     thresh = patch_threshold_from_frame(first_frame, bit_depth)
     clusters = threshold_bounds(clusters, first_frame, thresh, offset=2)
-    return build_patch_operator(clusters, image_hw)
+    return build_patch_operator(clusters, image_hw), diag
 
 
 def run_phase0(
@@ -249,6 +271,7 @@ def run_phase0(
     cam_params: List[CameraParams] = []
     raw_projs: List[NodeProjection] = []
     patch_ops: List[Optional[PatchOperator]] = []
+    patch_diags: List[Optional[dict]] = []
     tris_dev = jnp.asarray(model.triangles)
     verts_dev = jnp.asarray(model.vertices)
     norms_dev = jnp.asarray(model.normals)
@@ -281,14 +304,15 @@ def run_phase0(
                 )
             )
         if cfg.target_patcher == "polynomial" and cam.targets:
-            patch_ops.append(
-                build_patcher_for_camera(
-                    cfg, params, bvh_dev, model, first_frames[c], cam.targets,
-                    image_hw, bit_depths[c], max_leaf=max_leaf, flat_bvh=bvh,
-                )
+            op, diag = build_patcher_for_camera(
+                cfg, params, bvh_dev, model, first_frames[c], cam.targets,
+                image_hw, bit_depths[c], max_leaf=max_leaf, flat_bvh=bvh,
             )
+            patch_ops.append(op)
+            patch_diags.append(diag)
         else:
             patch_ops.append(None)
+            patch_diags.append(None)
 
     centers = [cam_center(p) for p in cam_params]
     projs = adjust_projection_for_weights(
@@ -316,6 +340,7 @@ def run_phase0(
         projections=projs,
         skipped=skipped,
         patch_ops=patch_ops,
+        patch_diags=patch_diags,
         ref_frames=ref_frames,
         superseded_by=jnp.asarray(model.superseded_by),
         image_hw=image_hw,

@@ -61,12 +61,17 @@ def _process_frame_core(
     interpolation: str,
     adjust_overlap: bool,
     warp_init: Optional[jax.Array] = None,  # (C, 2, 3) ECC warm start
+    ecc_unroll_iters: Optional[int] = None,
 ):
     """One multi-camera frame -> (intensity (N,), warps (C,2,3), telemetry (C,4)).
 
     Telemetry per camera is [rho, iterations, warp_tx, warp_ty] — the
     on-device analog of the reference's per-frame registration logging, at
     zero extra compute (all four values fall out of the ECC solve).
+
+    ``ecc_unroll_iters``: run a fixed, statically-unrolled number of ECC
+    Gauss-Newton steps instead of the |drho| while_loop — no data-dependent
+    control flow, so the whole frame program vmaps over a frame batch.
     """
     n_cams = frames.shape[0]
     sol = None
@@ -77,8 +82,14 @@ def _process_frame_core(
         img = img.astype(jnp.float32)
         if registration == "pixel":
             init_c = None if warp_init is None else warp_init[c]
+            ecc_kw = (
+                {}
+                if ecc_unroll_iters is None
+                else dict(max_iters=ecc_unroll_iters, unroll=True)
+            )
             warp, rho, iters = ecc_affine(
-                params.ref_frames[c], img, warp_init=init_c, return_iters=True
+                params.ref_frames[c], img, warp_init=init_c,
+                return_iters=True, **ecc_kw
             )
             telemetry.append(
                 jnp.stack([rho, iters.astype(jnp.float32), warp[0, 2], warp[1, 2]])
@@ -200,17 +211,23 @@ def make_chunk_processor(
     packed_bits: int = 12,
     lut=None,
     use_pallas: Optional[bool] = None,
+    frame_batch: int = 1,
+    ecc_iters: Optional[int] = None,
 ):
     """Build the chunk program: (F, C, H, W) frames -> (F, N) intensities.
 
-    - ``warm_start``: scan over frames carrying each camera's converged ECC
-      warp into the next frame's solve (temporally coherent vibration =>
-      1-3 iterations instead of 5-15).  NOTE the |drho| < epsilon stopping
-      rule means warm- and identity-started solves agree only within the
-      convergence tolerance, so warm-started intensities depend (within that
-      tolerance) on chunk/shard boundaries; ``warm_start=False`` is the
-      reference's identity-start semantics (registration.cpp:53-64) and is
-      bit-invariant to the device count.
+    - ``warm_start``: how each frame's ECC solve is initialized.
+        * ``"fft"``: per-frame phase-correlation translation estimate
+          (ops/fftreg.py) — deterministic (depends only on the frame itself,
+          so bit-invariant to chunk/shard boundaries) and extends capture
+          range to +-H/4 px.
+        * ``True`` / ``"scan"``: scan over frames carrying each camera's
+          converged warp into the next solve.  NOTE the |drho| < epsilon
+          stopping rule means warm- and identity-started solves agree only
+          within the convergence tolerance, so intensities depend (within
+          that tolerance) on chunk/shard boundaries.
+        * ``False``: identity starts — the reference's semantics
+          (registration.cpp:53-64), bit-invariant to the device count.
     - ``mesh``: a 1-D ``jax.sharding.Mesh`` over the ``frames`` axis; the
       chunk is ``shard_map``-ped so every device scans its own contiguous
       frame block in parallel — the reference's per-rank frame apportioning
@@ -218,7 +235,14 @@ def make_chunk_processor(
     - ``packed``: input is (F, C, B) uint8 packed camera bytes, unpacked on
       device before the frame program (ops/pallas_unpack.py).
     - ``with_telemetry``: returns (intensity, (F, C, 4) registration records).
+    - ``frame_batch`` (fft mode only): vmap this many frames per loop step —
+      needs ``ecc_iters`` (fixed, unrolled Gauss-Newton steps; 2 reaches the
+      while_loop fixed point from a phase-correlation init — GN converges
+      quadratically from the sub-pixel start, verified in
+      tests/test_fftreg.py::TestFixedIterECC).
     """
+    if frame_batch > 1 and ecc_iters is None:
+        ecc_iters = 2
     p = phase1_params(state)
     cfg = state.config
     n_cams = int(state.ref_frames.shape[0])
@@ -230,17 +254,28 @@ def make_chunk_processor(
         interpolation=cfg.pixel_interpolation,
         adjust_overlap=True,
     )
-    warm = warm_start and cfg.registration == "pixel"
+    mode = warm_start if cfg.registration == "pixel" else False
+    if mode is True:
+        mode = "scan"
     unpack_chunk = (
         _make_unpacker(packed_bits, lut, use_pallas, state.image_hw)
         if packed
         else None
     )
+    if mode == "fft":
+        from upsp_tpu.ops.fftreg import (
+            correlate,
+            default_decimate,
+            prepare_template,
+            translation_warp,
+        )
+
+        fft_decimate = default_decimate(*state.image_hw)
 
     def local_chunk(chunk: jax.Array):
         """One device's frame block -> (intensity, telemetry)."""
         frames = unpack_chunk(chunk) if unpack_chunk is not None else chunk
-        if warm:
+        if mode == "scan":
             def body(carry, frame):
                 sol, warps, tele = _process_frame_core(
                     frame, p, warp_init=carry, **static
@@ -249,6 +284,50 @@ def make_chunk_processor(
 
             init = jnp.broadcast_to(identity_warp(), (n_cams, 2, 3))
             _, (sols, teles) = jax.lax.scan(body, init, frames)
+        elif mode == "fft":
+            # template spectra trace once per chunk (complex64 can't embed as
+            # an eager jit constant on this backend); loop-invariant under map
+            tmpls = [
+                prepare_template(p.ref_frames[c], fft_decimate)
+                for c in range(n_cams)
+            ]
+
+            def one(frame):
+                init = jnp.stack(
+                    [
+                        translation_warp(correlate(tmpls[c], frame[c]))
+                        for c in range(n_cams)
+                    ]
+                )
+                sol, _, tele = _process_frame_core(
+                    frame, p, warp_init=init,
+                    ecc_unroll_iters=ecc_iters, **static
+                )
+                return sol, tele
+
+            if frame_batch > 1:
+                # map(vmap(B)): B frames per loop step — fixed-iteration ECC
+                # has no data-dependent control flow, so the full frame
+                # program batches; elementwise passes and reductions amortize
+                # across the batch (big dispatch-floor win on small images,
+                # better pipelining at 1 MP+)
+                n_f = frames.shape[0]
+                pad = (-n_f) % frame_batch
+                fr = (
+                    jnp.concatenate(
+                        [frames, jnp.repeat(frames[-1:], pad, axis=0)]
+                    )
+                    if pad
+                    else frames
+                )
+                batched = fr.reshape(
+                    (-1, frame_batch) + frames.shape[1:]
+                )
+                sols, teles = jax.lax.map(jax.vmap(one), batched)
+                sols = sols.reshape((-1,) + sols.shape[2:])[:n_f]
+                teles = teles.reshape((-1,) + teles.shape[2:])[:n_f]
+            else:
+                sols, teles = jax.lax.map(one, frames)
         else:
             def one(frame):
                 sol, _, tele = _process_frame_core(frame, p, **static)

@@ -197,7 +197,8 @@ def run_datapoint(
     device_unpack: str = "auto",
     registration_telemetry: bool = False,
     mesh=None,
-    warm_start: bool = True,
+    warm_start="fft",
+    frame_batch: int = 8,
 ) -> DatapointOutputs:
     """Process one datapoint end to end.
 
@@ -216,8 +217,11 @@ def run_datapoint(
     a convergence summary for epsilon/iteration-budget tuning.
     ``mesh``: None (single device), "auto" (all local devices), or a 1-D Mesh
     — phase 1 shards the frame axis, phase 2 reshards to nodes on device.
-    ``warm_start``: carry each camera's converged ECC warp into the next
-    frame's solve (scan over the chunk; identity at chunk/shard boundaries).
+    ``warm_start``: ECC initialization — "fft" (default: per-frame phase-
+    correlation estimate, deterministic across shardings, batched
+    ``frame_batch`` frames per step), True/"scan" (carry the previous frame's
+    warp; identity at chunk/shard boundaries), or False (identity starts —
+    exact reference semantics, registration.cpp:53-64).
     """
     mesh = _resolve_mesh(mesh)
     # ---- open video, grab first frames -------------------------------------
@@ -264,6 +268,7 @@ def run_datapoint(
         state,
         mesh=mesh,
         warm_start=warm_start,
+        frame_batch=frame_batch if warm_start == "fft" else 1,
         with_telemetry=registration_telemetry,
         packed=use_packed,
         **packed_kw,
@@ -333,7 +338,8 @@ def run_datapoint_streaming(
     device_unpack: str = "auto",
     write_hdf5: bool = True,
     mesh=None,
-    warm_start: bool = True,
+    warm_start="fft",
+    frame_batch: int = 8,
 ) -> DatapointOutputs:
     """Out-of-core datapoint processing for runs larger than host RAM.
 
@@ -379,7 +385,9 @@ def run_datapoint_streaming(
     n_nodes = state.model.size
     use_packed, packed_kw = _packed_ingest_config(readers, frames_array, device_unpack)
     fn = make_chunk_processor(
-        state, mesh=mesh, warm_start=warm_start, packed=use_packed, **packed_kw
+        state, mesh=mesh, warm_start=warm_start,
+        frame_batch=frame_batch if warm_start == "fft" else 1,
+        packed=use_packed, **packed_kw
     )
     ffs = FlatFileSet(cfg.out_dir)
     n_dev = 1 if mesh is None else int(mesh.devices.size)
