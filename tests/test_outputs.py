@@ -94,6 +94,35 @@ class TestHDF5:
             hdf5_read_dataset(path, "Condition/mach"), 0.85
         )
 
+    def test_frame_major_layout(self, tmp_path, rng):
+        """transposed=False writes the reference's (frames, nodes) layout
+        (PSPHDF5.h:314-343, transpose attr 0); interrogation API adapts."""
+        h5py = pytest.importorskip("h5py")
+        from upsp_tpu.geometry.grids import from_struct_grid
+        from upsp_tpu.io.hdf5io import (
+            PSPWriter,
+            hdf5_is_transposed,
+            hdf5_num_frames,
+            hdf5_read_node_history,
+        )
+        from upsp_tpu.pipeline.synthetic import make_plate_grid
+
+        model = from_struct_grid(make_plate_grid(8, 6))
+        n, f = model.size, 16
+        frames = rng.normal(size=(n, f)).astype(np.float32)
+        path = str(tmp_path / "fm.h5")
+        with PSPWriter(path, model, n_frames=f, transposed=False) as w:
+            w.write_grid("in")
+            # two node-major blocks at offsets, transposed on the fly
+            w.write_frames_block(frames[: n // 2])
+            w.write_frames_block(frames[n // 2 :], node_start=n // 2)
+        assert not hdf5_is_transposed(path)
+        assert hdf5_num_frames(path) == f
+        with h5py.File(path) as h:
+            assert h["frames"].shape == (f, n)
+            np.testing.assert_allclose(h["frames"][:], frames.T)
+        np.testing.assert_allclose(hdf5_read_node_history(path, 5), frames[5])
+
 
 class TestRunDatapoint:
     def test_full_run_synthetic(self, tmp_path, rng):

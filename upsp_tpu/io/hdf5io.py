@@ -117,26 +117,40 @@ class PSPWriter:
         self.file.attrs[name] = value
 
     def create_frames_dataset(self) -> "h5py.Dataset":
-        """(nodes, frames) chunked dataset for the pressure time history."""
+        """Chunked pressure-time-history dataset.
+
+        ``transposed=True``: (nodes, frames) — fast per-node history reads
+        (kulite comparison).  ``transposed=False``: (frames, nodes) frame-
+        major, the reference's non-transposed layout (PSPHDF5.h:314-343,
+        ``transpose`` attr 0) — fast per-frame surface reads (plotting).
+        """
         n = self.model.size
-        chunk = (min(self.chunk_nodes, n), min(self.n_frames, 4096))
+        if self.transposed:
+            shape = (n, self.n_frames)
+            chunk = (min(self.chunk_nodes, n), min(self.n_frames, 4096))
+        else:
+            shape = (self.n_frames, n)
+            chunk = (min(self.n_frames, 4096), min(self.chunk_nodes, n))
         return self.file.create_dataset(
-            "frames",
-            shape=(n, self.n_frames),
-            dtype=np.float32,
-            chunks=chunk,
+            "frames", shape=shape, dtype=np.float32, chunks=chunk
         )
 
     def write_frames_block(
         self, data: np.ndarray, node_start: int = 0
     ) -> None:
-        """Write a node-major block (nodes_block, frames) at a node offset."""
+        """Write a node-major block (nodes_block, frames) at a node offset.
+
+        The block is transposed on the fly for the frame-major layout.
+        """
         if "frames" not in self.file:
             self.create_frames_dataset()
         ds = self.file["frames"]
-        ds[node_start : node_start + data.shape[0], :] = np.asarray(
-            data, np.float32
-        )
+        data = np.asarray(data, np.float32)
+        sl = slice(node_start, node_start + data.shape[0])
+        if self.transposed:
+            ds[sl, :] = data
+        else:
+            ds[:, sl] = np.ascontiguousarray(data.T)
 
     def write_new_dataset(
         self, name: str, values: np.ndarray, units: str = ""
@@ -162,7 +176,10 @@ class PSPWriter:
 
 def hdf5_num_frames(filename: str) -> int:
     with h5py.File(filename, "r") as f:
-        return int(f["frames"].shape[1]) if "frames" in f else 0
+        if "frames" not in f:
+            return 0
+        axis = 1 if f.attrs.get("transpose", 0) else 0
+        return int(f["frames"].shape[axis])
 
 
 def hdf5_is_transposed(filename: str) -> bool:
@@ -187,4 +204,6 @@ def hdf5_read_dataset(filename: str, name: str) -> np.ndarray:
 
 def hdf5_read_node_history(filename: str, node_index: int) -> np.ndarray:
     with h5py.File(filename, "r") as f:
-        return np.array(f["frames"][node_index, :])
+        if f.attrs.get("transpose", 0):
+            return np.array(f["frames"][node_index, :])
+        return np.array(f["frames"][:, node_index])

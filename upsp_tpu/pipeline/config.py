@@ -56,18 +56,24 @@ class ProcessingConfig:
     x_max: Optional[float] = None
     wind_off: bool = False
     degree: int = 6  # detrend polynomial degree
-    # patching phase-0 knobs (psp_process.cpp Phase1Settings defaults)
-    bound_thickness: int = 3
-    buffer_thickness: int = 2
-    target_diam_sf: float = 1.1
+    # patching phase-0 knobs (psp_process.cpp:1208-1210 CLI defaults:
+    # bound_pts=2, buffer_pts=1, target_diam_sf=1.2)
+    bound_thickness: int = 2
+    buffer_thickness: int = 1
+    target_diam_sf: float = 1.2
     # physics constants
     gamma: float = 1.4
     recovery_factor: float = 0.896
     f_to_r: float = 459.67
     # @output
     out_dir: str = ""
-    add_out_dir: str = ""
+    add_out_dir: str = ""  # extra/debug files (diagnostics); default out_dir
     out_name: str = ""
+    h5_out: str = ""  # explicit HDF5 path (psp_process -h5_out); default
+    #                   <out_dir>/<out_name or 'output'>.h5
+    # phase-2 node-block chunk size (psp_process -trans_nodes, default 250)
+    trans_nodes: int = 250
+    code_version: str = ""
 
     @property
     def n_cameras(self) -> int:
@@ -172,7 +178,9 @@ def _assign_file(cfg: ProcessingConfig, key: str, val: str) -> None:
         "wtd": "sds",
         "paint_calibration": "paint_cal",
         "paintcal": "paint_cal",
+        "paint_cal": "paint_cal",
         "steady_psp": "steady_psp",
+        "steady_p3d": "steady_psp",
         "steady_grid": "steady_grid",
         "model_temp": "model_temp_p3d",
         "normals": "normals",

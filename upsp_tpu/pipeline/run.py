@@ -239,6 +239,14 @@ def run_datapoint(
     # ---- phase 0 ------------------------------------------------------------
     state = run_phase0(cfg, first_frames, bit_depths)
     camset = _camera_settings(readers, cfg, state)
+    # phase-0 diagnostic images/datasets (psp_process.cpp:2061-2178); the
+    # reference routes "additional debugging files" to -add_out_dir,
+    # defaulting to the deck's output directory (psp_process.cpp:1261)
+    diag_dir = cfg.add_out_dir or cfg.out_dir
+    if write_outputs and diag_dir:
+        from upsp_tpu.pipeline.diagnostics import write_phase0_diagnostics
+
+        write_phase0_diagnostics(state, diag_dir)
     if checkout:
         if readers:
             for r in readers:
@@ -368,6 +376,13 @@ def run_datapoint_streaming(
     )
 
     assert cfg.out_dir, "streaming mode requires an output directory"
+    if not (cfg.sds and cfg.paint_cal):
+        raise ValueError(
+            "streaming mode runs phase 2 inline and requires both a wtd "
+            "(sds) file and a paint calibration (the reference refuses to "
+            "start without -paint_cal, psp_process.cpp:1240-1243); use "
+            "run_datapoint for an intensity-only run"
+        )
     mesh = _resolve_mesh(mesh)
     start0 = 0
     if frames_array is not None:
@@ -454,10 +469,11 @@ def run_datapoint_streaming(
 
             name = cfg.out_name or "output"
             h5w = PSPWriter(
-                os.path.join(cfg.out_dir, f"{name}.h5"),
+                cfg.h5_out or os.path.join(cfg.out_dir, f"{name}.h5"),
                 state.model,
                 n_frames=n_frames,
                 transposed=True,
+                chunk_nodes=cfg.trans_nodes or 4096,
             )
             h5w.write_grid(cfg.grid_units)
             h5w.write_tunnel_conditions(cond)
@@ -570,7 +586,15 @@ def _finish_from_intensity(
 
     # ---- phase 2 ------------------------------------------------------------
     phase2 = None
-    if cfg.sds and cfg.paint_cal:
+    if not (cfg.sds and cfg.paint_cal):
+        # the reference refuses to start without -paint_cal
+        # (psp_process.cpp:1240-1243); as a library we allow phase-1-only
+        # runs but never silently
+        log.warning(
+            "phase 2 skipped: missing %s — intensity outputs only",
+            "sds (wtd)" if not cfg.sds else "paint_cal",
+        )
+    else:
         cond = read_wtd(cfg.sds)
         cond.test_id = cfg.test_id
         cond.run = cfg.run
@@ -647,10 +671,11 @@ def _write_outputs(
             cond.seq = cfg.sequence
             name = cfg.out_name or "output"
             with PSPWriter(
-                os.path.join(cfg.out_dir, f"{name}.h5"),
+                cfg.h5_out or os.path.join(cfg.out_dir, f"{name}.h5"),
                 state.model,
                 n_frames=intensity.shape[0],
                 transposed=True,
+                chunk_nodes=cfg.trans_nodes or 4096,
             ) as w:
                 w.write_grid(cfg.grid_units)
                 w.write_tunnel_conditions(cond)
