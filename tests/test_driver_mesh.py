@@ -334,6 +334,37 @@ class TestSteadyModelTempOutputs:
         np.testing.assert_allclose(mt, np.asarray(out.phase2.model_temp))
 
 
+class Test2DMesh:
+    def test_hosts_by_devices_mesh_matches_oracle(self, tmp_path):
+        """run_datapoint over a 2-D (hosts, frames) mesh == single device.
+
+        Validates that both phases block-decompose over the COMBINED axes
+        (hosts-major) and the phase-2 all-to-all reshard works on a 2-D
+        mesh — the multi-host layout with host-contiguous frame ranges.
+        """
+        import jax
+
+        frames = _frames(16, shifts=np.cumsum(
+            np.random.default_rng(3).normal(0, 0.1, size=(16, 2)), axis=0))
+        out1 = run_datapoint(
+            _config(tmp_path, out="o1", registration="pixel"),
+            frames_array=frames, write_outputs=False,
+        )
+        mesh2d = make_mesh(jax.devices()[:8], n_hosts=2)
+        assert mesh2d.devices.shape == (2, 4)
+        out2 = run_datapoint(
+            _config(tmp_path, out="o2", registration="pixel"),
+            frames_array=frames, write_outputs=False, mesh=mesh2d,
+        )
+        np.testing.assert_allclose(out2.intensity, out1.intensity, rtol=1e-5,
+                                   atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(out2.phase2.pressure_transpose),
+            np.asarray(out1.phase2.pressure_transpose),
+            rtol=2e-5, atol=1e-6,
+        )
+
+
 class TestUnstructuredGrid:
     def test_component_assignment_vectorized(self):
         """First-triangle-wins per-node component matches the loop oracle."""

@@ -103,3 +103,96 @@ class TestTwoStage:
         pix = np.stack([np.asarray(i["center"]).reshape(2) for i in img_inl])
         err = np.linalg.norm(fn(obj) - pix, axis=1)
         assert np.sqrt((err**2).mean()) < 1.0  # docs/md/upsp-swdd.md:61 target
+
+
+class TestJointBA:
+    """The BA north star: refine BOTH fixture cameras jointly.
+
+    The reference solves each camera's pose independently (per-camera PnP
+    RANSAC, external_calibrate.py:1140); joint bundle adjustment with shared
+    target positions is a new capability — the test asserts it never degrades
+    the per-camera solution and reports the improvement.
+    """
+
+    def test_two_fixture_cameras_joint(self, ref_data, fml_model):
+        from upsp_tpu.camera.ba import (
+            build_problem,
+            bundle_adjust,
+            poses_to_rmat_tvec,
+        )
+        from upsp_tpu.camera.external import make_project_fn
+        from upsp_tpu.camera.model import make_camera_params
+
+        cfg = read_test_config(str(ref_data / "test_config.json"))
+        cfg["crosscorr_coeff"] = 0.5
+        vis = VisibilityChecker(fml_model, oblique_angle=70.0, epsilon=1e-4)
+        tgts = targets_to_dicts(read_tgts(str(ref_data / "fml_tc3_volume.tgts")))
+
+        imgs = {
+            1: "CAM1_RUN8_CINE02_Y20000209H11294501.00001.png",
+            5: "CAM5_RUN8_CINE02_Y20220209H11291505.00001.png",
+        }
+        cams, obs, rms_single = [], [], []
+        tgt_xyz = np.stack([t["tvec"].reshape(3) for t in tgts])
+        key_of = {tuple(np.round(x, 6)): i for i, x in enumerate(tgt_xyz)}
+        for ci, (num, name) in enumerate(imgs.items()):
+            img = cv2.imread(
+                str(ref_data / "images" / name),
+                cv2.IMREAD_GRAYSCALE + cv2.IMREAD_ANYDEPTH,
+            )
+            cal = read_camera_json(
+                str(
+                    ref_data
+                    / "camera-tunnel-calibration"
+                    / f"camera{num:02d}_35_6.json"
+                ),
+                dims_hw=img.shape,
+            )
+            rmat0 = rot(0.25, "x") @ cal.rmat
+            tvec0 = cal.tvec.reshape(3, 1) + np.array([[0.02], [-0.01], [0.02]])
+            rmat, tvec, tgt_inl, img_inl = external_calibrate_two_stage(
+                img, rmat0, tvec0, (cal.camera_matrix, cal.dist_coeffs),
+                tgts, cfg, vis,
+            )
+            assert len(tgt_inl) >= 8
+            fn = make_project_fn(rmat, tvec, cal.camera_matrix, cal.dist_coeffs)
+            obj = np.stack([t["tvec"].reshape(3) for t in tgt_inl])
+            pix = np.stack([np.asarray(i["center"]).reshape(2) for i in img_inl])
+            err = np.linalg.norm(fn(obj) - pix, axis=1)
+            rms_single.append(np.sqrt((err**2).mean()))
+            cams.append(
+                make_camera_params(
+                    rmat, tvec, cal.camera_matrix, cal.dist_coeffs
+                )
+            )
+            for t, i in zip(tgt_inl, img_inl):
+                k = key_of[tuple(np.round(np.asarray(t["tvec"]).reshape(3), 6))]
+                obs.append((ci, k, np.asarray(i["center"]).reshape(2)))
+
+        prob = build_problem(cams, tgt_xyz, obs, prior_sigma=0.005)
+        res = bundle_adjust(prob, n_iters=30)
+        rms_joint = float(res.rms)
+        rms_before = np.sqrt(
+            np.mean(np.concatenate([np.full(1, r) ** 2 for r in rms_single]))
+        )
+        # joint refinement must not degrade the per-camera solves, and the
+        # recovered poses must stay at the stored fixture poses
+        assert rms_joint <= rms_before * 1.05
+        rmats, tvecs = poses_to_rmat_tvec(res)
+        for ci, (num, _) in enumerate(imgs.items()):
+            cal = read_camera_json(
+                str(
+                    ref_data
+                    / "camera-tunnel-calibration"
+                    / f"camera{num:02d}_35_6.json"
+                ),
+                dims_hw=(512, 1024),
+            )
+            np.testing.assert_allclose(rmats[ci], cal.rmat, atol=1e-2)
+            np.testing.assert_allclose(
+                tvecs[ci], cal.tvec.reshape(3), atol=5e-2
+            )
+        print(
+            f"joint BA rms {rms_joint:.4f} px vs per-camera "
+            f"{rms_before:.4f} px over {len(obs)} observations"
+        )

@@ -1,0 +1,118 @@
+"""Full-run-config benchmark: 4 cameras x 2 MP x 1M nodes, end to end on chip.
+
+Measures the production chunk program (phase 1 fused register/patch/filter/
+project) plus the frames->nodes transpose + phase-2 conversion, device-
+resident (host ingest measured separately; the tunnel link is not
+representative — BENCH_NOTES.md).
+
+Usage: python tools/bench_fullconfig.py [--mode fft|scan|cold] [--frames 32]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="fft", choices=["fft", "scan", "cold"])
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--cams", type=int, default=4)
+    ap.add_argument("--hw", default="1200,1800")  # 2.16 MP
+    ap.add_argument("--grid", default="1024,1024")  # ~1.05M nodes
+    ap.add_argument("--frame-batch", type=int, default=8)
+    ap.add_argument("--ecc-iters", type=int, default=2)
+    ap.add_argument("--phase1-only", action="store_true")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    H, W = map(int, args.hw.split(","))
+    gi, gj = map(int, args.grid.split(","))
+    F, C = args.frames, args.cams
+
+    from upsp_tpu.pipeline.phase1 import make_chunk_processor, phase1_statistics
+    from upsp_tpu.pipeline.synthetic import make_synthetic_state
+
+    t0 = time.time()
+    state = make_synthetic_state(n_cameras=C, image_hw=(H, W), grid_shape=(gi, gj))
+    n_nodes = state.model.size
+    print(f"state built: {C} cams x {H}x{W} ({H*W/1e6:.2f} MP), "
+          f"{n_nodes/1e6:.2f}M nodes [{time.time()-t0:.1f}s]", flush=True)
+
+    warm = {"fft": "fft", "scan": True, "cold": False}[args.mode]
+    fn = make_chunk_processor(
+        state,
+        warm_start=warm,
+        frame_batch=args.frame_batch if args.mode == "fft" else 1,
+        ecc_iters=args.ecc_iters if args.mode == "fft" else None,
+    )
+
+    # synthetic frames: base scene + per-frame sub-pixel shifts via roll of an
+    # upsampled pattern is too slow on 2 host cores at 2 MP; use integer
+    # rolls + intensity modulation (ECC still does full solves)
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    base = (
+        2000
+        + 0.5 * xx
+        + 0.3 * yy
+        + 400 * np.sin(xx / 37.0) * np.cos(yy / 29.0)
+    ).astype(np.float32)
+    frames = np.empty((F, C, H, W), np.float32)
+    for f in range(F):
+        sh = rng.integers(-2, 3, 2)
+        img = np.roll(base, tuple(sh), axis=(0, 1))
+        frames[f] = img[None] * (1 + 0.01 * np.sin(2 * np.pi * f / 7))
+    fr_dev = jnp.asarray(frames)
+
+    def full_step(fr):
+        out = fn(fr)
+        sols = out[0] if isinstance(out, tuple) else out
+        return sols
+
+    t0 = time.time()
+    sols = jax.block_until_ready(full_step(fr_dev))
+    print(f"phase1 compile+run: {time.time()-t0:.1f}s", flush=True)
+
+    times = []
+    for _ in range(args.reps):
+        t0 = time.time()
+        sols = jax.block_until_ready(full_step(fr_dev))
+        times.append(time.time() - t0)
+    t1 = min(times)
+    print(f"phase1: {t1*1e3:.0f} ms / {F} frames = {F/t1:.1f} frames/s/chip",
+          flush=True)
+
+    if not args.phase1_only:
+        from upsp_tpu.ops.polyfit import detrend, make_detrender
+
+        det = make_detrender(F, 6)
+
+        @jax.jit
+        def phase2_like(sols):
+            avg, rms = phase1_statistics(sols)
+            ratio = avg[None, :] / jnp.where(sols == 0, 1.0, sols) - 1.0
+            node_major = ratio.T  # the all-to-all on a mesh; transpose here
+            dcp = detrend(det, node_major) * 1.7 * 144.0 / 350.0
+            return dcp, avg, rms
+
+        t0 = time.time()
+        out = jax.block_until_ready(phase2_like(sols))
+        print(f"phase2 compile+run: {time.time()-t0:.1f}s", flush=True)
+        t0 = time.time()
+        out = jax.block_until_ready(phase2_like(sols))
+        t2 = time.time() - t0
+        print(f"phase2: {t2*1e3:.0f} ms", flush=True)
+        total = t1 + t2
+        print(f"END2END: {F/total:.1f} frames/s/chip "
+              f"({total*1e3:.0f} ms / {F} frames)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -189,7 +189,10 @@ def run_phase2_sharded(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_dev = int(mesh.devices.size)
-    axis = mesh.axis_names[0]
+    # block-decompose over the COMBINED mesh axes: on a 2-D (hosts, devices)
+    # mesh both phases stay 1-D over the full rank space, hosts-major
+    # (reference apportion over all ranks, psp_process.cpp:611-624)
+    axis = tuple(mesh.axis_names)
     F, N = intensity.shape
     F_pad = -(-F // n_dev) * n_dev
     N_pad = -(-N // n_dev) * n_dev
