@@ -117,6 +117,27 @@ class TestFixedIterECC:
         np.testing.assert_allclose(np.asarray(w_fix), np.asarray(w_while), atol=0.02)
         assert float(rho_f) >= float(rho_w) - 1e-4
 
+    def test_coarse_fine_matches_while_loop(self):
+        """1 coarse (2x-decimated) + 1 fine GN step from the fft init reaches
+        the while_loop fixed point — the production default (1/4-cost coarse
+        step does the bulk correction, the full-res step anchors sub-pixel
+        accuracy)."""
+        from scipy import ndimage
+
+        rng = np.random.default_rng(9)
+        ref = _textured(rng, 128, 160)
+        img = ndimage.shift(ref, (1.1, -2.3), order=3, mode="nearest").astype(
+            np.float32
+        )
+        r, i = jnp.asarray(ref), jnp.asarray(img)
+        init = translation_warp(make_phase_correlator(r)(i))
+        w_while, rho_w = ecc_affine(r, i, warp_init=init)
+        w_cf, rho_cf = ecc_affine(
+            r, i, warp_init=init, max_iters=1, unroll=True, coarse_iters=1
+        )
+        np.testing.assert_allclose(np.asarray(w_cf), np.asarray(w_while), atol=0.02)
+        assert float(rho_cf) >= float(rho_w) - 1e-4
+
     def test_vmappable(self):
         """The unrolled solve vmaps over a frame batch (while_loop doesn't)."""
         import jax

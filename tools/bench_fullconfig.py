@@ -27,7 +27,9 @@ def main():
     ap.add_argument("--hw", default="1200,1800")  # 2.16 MP
     ap.add_argument("--grid", default="1024,1024")  # ~1.05M nodes
     ap.add_argument("--frame-batch", type=int, default=8)
-    ap.add_argument("--ecc-iters", type=int, default=2)
+    ap.add_argument("--ecc-iters", type=int, default=None,
+                    help="fine GN steps (default: production 1 fine + 1 coarse)")
+    ap.add_argument("--ecc-coarse-iters", type=int, default=None)
     ap.add_argument("--phase1-only", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -51,6 +53,7 @@ def main():
         warm_start=warm,
         frame_batch=args.frame_batch if args.mode == "fft" else 1,
         ecc_iters=args.ecc_iters if args.mode == "fft" else None,
+        ecc_coarse_iters=args.ecc_coarse_iters if args.mode == "fft" else None,
     )
 
     # synthetic frames: base scene + per-frame sub-pixel shifts via roll of an

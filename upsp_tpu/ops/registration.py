@@ -124,7 +124,10 @@ def ecc_affine_pyramid(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "gauss_size", "return_iters", "unroll")
+    jax.jit,
+    static_argnames=(
+        "max_iters", "gauss_size", "return_iters", "unroll", "coarse_iters"
+    ),
 )
 def ecc_affine(
     ref: jax.Array,
@@ -135,6 +138,7 @@ def ecc_affine(
     warp_init: jax.Array | None = None,
     return_iters: bool = False,
     unroll: bool = False,
+    coarse_iters: int = 0,
 ):
     """Estimate the 2x3 affine warp aligning ``inp`` to ``ref`` by ECC maximization.
 
@@ -146,8 +150,25 @@ def ecc_affine(
     drives epsilon/iteration-budget tuning in production runs.
     """
     init = identity_warp() if warp_init is None else warp_init
+    if unroll and coarse_iters > 0:
+        # coarse-to-fine for the fixed-iteration path: Gauss-Newton steps on
+        # a 2x box-decimated pair cost 1/4 of a full-resolution step, and the
+        # final full-res step(s) anchor sub-pixel accuracy (same two-scale
+        # structure as ecc_affine_pyramid, without data-dependent control
+        # flow so the whole solve still vmaps over frame batches)
+        from upsp_tpu.ops.warp import downsample2, scale_warp
+
+        rc = downsample2(ref.astype(jnp.float32))
+        ic = downsample2(inp.astype(jnp.float32))
+        wc, _, _ = _ecc_core(
+            rc, ic, scale_warp(init, 0.5), max_iters=coarse_iters,
+            epsilon=epsilon, gauss_size=gauss_size, unroll=True,
+        )
+        init = scale_warp(wc, 2.0)
     out = _ecc_core(ref, inp, init, max_iters=max_iters,
                     epsilon=epsilon, gauss_size=gauss_size, unroll=unroll)
+    if unroll and coarse_iters > 0:
+        out = (out[0], out[1], out[2] + coarse_iters)
     return out if return_iters else out[:2]
 
 

@@ -123,15 +123,22 @@ def warp_validity_mask(
 
 
 def downsample2(img: jax.Array) -> jax.Array:
-    """2x box downsample (pyramid level construction)."""
+    """2x box downsample (pyramid level construction).
+
+    Reshape-mean lowering: the strided-slice formulation
+    (x[0::2,0::2] + ...) composes pathologically with downstream matmuls on
+    this backend (measured 46 ms vs 3 ms per fused ECC coarse stage at 2 MP).
+    """
     H, W = img.shape
     h2, w2 = H // 2, W // 2
-    x = img[: h2 * 2, : w2 * 2]
-    return 0.25 * (
-        x[0::2, 0::2] + x[0::2, 1::2] + x[1::2, 0::2] + x[1::2, 1::2]
-    )
+    return img[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).mean(axis=(1, 3))
 
 
 def scale_warp(warp: jax.Array, factor: float) -> jax.Array:
-    """Rescale a warp between pyramid levels (translation scales, A doesn't)."""
-    return warp.at[:, 2].multiply(factor)
+    """Rescale a warp between pyramid levels (translation scales, A doesn't).
+
+    Elementwise (no .at scatter): vmapped scatters are pathologically slow
+    on this backend, and this runs inside the batched ECC solve.
+    """
+    scale = jnp.array([[1.0, 1.0, factor], [1.0, 1.0, factor]], warp.dtype)
+    return warp * scale

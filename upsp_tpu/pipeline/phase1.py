@@ -39,15 +39,39 @@ class Phase1Params(NamedTuple):
     patch_ops: Tuple[Optional[PatchOperator], ...]
     ref_frames: jax.Array  # (C, H, W) float32
     superseded_by: jax.Array  # (N,) int32
+    # BestView fast path: when every node has at most one positive camera
+    # weight (the production default), the C per-camera gathers collapse to
+    # ONE gather from the stacked (C, H, W) frame buffer — index is
+    # camera*H*W + pixel (TPU gathers cost ~0.5 ms per 1M indices at 2 MP,
+    # so this is a (C-1)/C cut of projection time)
+    combined_index: Optional[jax.Array] = None  # (N,) int32 into (C*H*W,)
+    combined_weight: Optional[jax.Array] = None  # (N,) float32
 
 
 def phase1_params(state) -> Phase1Params:
+    import numpy as np
+
+    projections = tuple(state.projections)
+    combined_index = combined_weight = None
+    if len(projections) >= 1:
+        w = np.stack([np.asarray(p.weight) for p in projections])  # (C, N)
+        if ((w > 0).sum(axis=0) <= 1).all():
+            H, W = state.image_hw
+            idx = np.stack([np.asarray(p.pixel_index) for p in projections])
+            best = w.argmax(axis=0)  # 0 where all-zero (weight 0 kills it)
+            n = np.arange(w.shape[1])
+            combined_index = jnp.asarray(
+                (best * H * W + idx[best, n]).astype(np.int32)
+            )
+            combined_weight = jnp.asarray(w[best, n].astype(np.float32))
     return Phase1Params(
-        projections=tuple(state.projections),
+        projections=projections,
         skipped=state.skipped,
         patch_ops=tuple(state.patch_ops),
         ref_frames=state.ref_frames,
         superseded_by=state.superseded_by,
+        combined_index=combined_index,
+        combined_weight=combined_weight,
     )
 
 
@@ -62,6 +86,7 @@ def _process_frame_core(
     adjust_overlap: bool,
     warp_init: Optional[jax.Array] = None,  # (C, 2, 3) ECC warm start
     ecc_unroll_iters: Optional[int] = None,
+    ecc_coarse_iters: int = 0,
 ):
     """One multi-camera frame -> (intensity (N,), warps (C,2,3), telemetry (C,4)).
 
@@ -77,6 +102,7 @@ def _process_frame_core(
     sol = None
     warps = []
     telemetry = []
+    processed = []
     for c in range(n_cams):
         img = fix_hot_pixels(frames[c])
         img = img.astype(jnp.float32)
@@ -85,7 +111,8 @@ def _process_frame_core(
             ecc_kw = (
                 {}
                 if ecc_unroll_iters is None
-                else dict(max_iters=ecc_unroll_iters, unroll=True)
+                else dict(max_iters=ecc_unroll_iters, unroll=True,
+                          coarse_iters=ecc_coarse_iters)
             )
             warp, rho, iters = ecc_affine(
                 params.ref_frames[c], img, warp_init=init_c,
@@ -105,8 +132,14 @@ def _process_frame_core(
         if patch and params.patch_ops[c] is not None:
             img = apply_patches(img, params.patch_ops[c])
         img = apply_filter(img, filter_type, filter_size)
-        c_sol = project_frame(img, params.projections[c])
-        sol = c_sol if sol is None else sol + c_sol
+        if params.combined_index is not None:
+            processed.append(img)
+        else:
+            c_sol = project_frame(img, params.projections[c])
+            sol = c_sol if sol is None else sol + c_sol
+    if params.combined_index is not None:
+        stacked = jnp.stack(processed).reshape(-1)  # (C*H*W,)
+        sol = stacked[params.combined_index] * params.combined_weight
     sol = jnp.where(params.skipped, jnp.nan, sol)
     if adjust_overlap:
         sol = sol[params.superseded_by]
@@ -213,6 +246,7 @@ def make_chunk_processor(
     use_pallas: Optional[bool] = None,
     frame_batch: int = 1,
     ecc_iters: Optional[int] = None,
+    ecc_coarse_iters: Optional[int] = None,
 ):
     """Build the chunk program: (F, C, H, W) frames -> (F, N) intensities.
 
@@ -236,13 +270,20 @@ def make_chunk_processor(
       device before the frame program (ops/pallas_unpack.py).
     - ``with_telemetry``: returns (intensity, (F, C, 4) registration records).
     - ``frame_batch`` (fft mode only): vmap this many frames per loop step —
-      needs ``ecc_iters`` (fixed, unrolled Gauss-Newton steps; 2 reaches the
-      while_loop fixed point from a phase-correlation init — GN converges
-      quadratically from the sub-pixel start, verified in
-      tests/test_fftreg.py::TestFixedIterECC).
+      uses fixed, unrolled Gauss-Newton steps (optional ``ecc_coarse_iters``
+      on a 2x decimated pair first, then ``ecc_iters`` at full resolution).
+      The default 2 full-res steps reach the while_loop fixed point from a
+      phase-correlation init — GN converges quadratically from the sub-pixel
+      start, verified in tests/test_fftreg.py::TestFixedIterECC.
     """
-    if frame_batch > 1 and ecc_iters is None:
+    # production default: 2 full-resolution GN steps, no coarse stage.  A 2x
+    # coarse step was measured SLOWER on this backend (the decimated-size
+    # program costs ~3 ms vs 0.27 ms marginal for a full-res step — odd image
+    # sizes compile poorly), so coarse_iters stays opt-in.
+    if ecc_iters is None:
         ecc_iters = 2
+    if ecc_coarse_iters is None:
+        ecc_coarse_iters = 0
     p = phase1_params(state)
     cfg = state.config
     n_cams = int(state.ref_frames.shape[0])
@@ -301,7 +342,8 @@ def make_chunk_processor(
                 )
                 sol, _, tele = _process_frame_core(
                     frame, p, warp_init=init,
-                    ecc_unroll_iters=ecc_iters, **static
+                    ecc_unroll_iters=ecc_iters,
+                    ecc_coarse_iters=ecc_coarse_iters, **static
                 )
                 return sol, tele
 
