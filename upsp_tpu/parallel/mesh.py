@@ -98,6 +98,26 @@ def global_transpose(mesh: Mesh, intensity: jax.Array) -> jax.Array:
     return jax.lax.with_sharding_constraint(t, node_sharding(mesh))
 
 
+
+
+def fetch_global(a) -> "np.ndarray":
+    """Device array -> host numpy, multi-process safe.
+
+    When the mesh spans processes, shards on other hosts are not addressable
+    and plain ``np.asarray`` raises; every process allgathers the global
+    value instead (the reference's equivalent is each rank holding only its
+    slice + MPI collectives for full views).
+    """
+    if not hasattr(a, "devices"):
+        return np.asarray(a)
+    try:
+        return np.asarray(a)
+    except RuntimeError:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
+
 def apportion(total: int, ranks: int) -> list:
     """Contiguous block sizes per rank (reference apportion, psp_process.cpp:611).
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from upsp_tpu.io.paint import PaintCalibration
+from upsp_tpu.parallel.mesh import fetch_global
 from upsp_tpu.io.wtd import TunnelConditions, model_temperature
 from upsp_tpu.ops.polyfit import PolyDetrender, detrend, make_detrender
 
@@ -226,10 +227,10 @@ def run_phase2_sharded(
 
     out = convert(intensity_dev, avg_dev, cov_dev, steady_dev, mtemp_dev)
     return Phase2Outputs(
-        pressure_transpose=np.asarray(out.pressure_transpose)[:N],
-        rms=np.asarray(out.rms)[:N],
-        avg=np.asarray(out.avg)[:N],
-        gain=np.asarray(out.gain)[:N],
+        pressure_transpose=fetch_global(out.pressure_transpose)[:N],
+        rms=fetch_global(out.rms)[:N],
+        avg=fetch_global(out.avg)[:N],
+        gain=fetch_global(out.gain)[:N],
         steady_state=jnp.asarray(steady),
         model_temp=jnp.asarray(mtemp),
     )

@@ -33,6 +33,7 @@ from upsp_tpu.io.paint import PaintCalibration
 from upsp_tpu.io.video import FramePrefetcher, video_reader
 from upsp_tpu.io.wtd import read_wtd
 from upsp_tpu.ops.projection import coverage as proj_coverage
+from upsp_tpu.parallel.mesh import fetch_global
 from upsp_tpu.pipeline.config import ProcessingConfig
 from upsp_tpu.pipeline.phase0 import Phase0State, run_phase0
 from upsp_tpu.pipeline.phase1 import make_chunk_processor
@@ -312,8 +313,8 @@ def run_datapoint(
         out = fn(batch)
         if registration_telemetry:
             out, tele = out
-            reg_telemetry[start : start + valid] = np.asarray(tele)[:valid]
-        intensity[start : start + valid] = np.asarray(out)[:valid]
+            reg_telemetry[start : start + valid] = fetch_global(tele)[:valid]
+        intensity[start : start + valid] = fetch_global(out)[:valid]
         if start % (frames_per_chunk * 8) == 0:
             log.info("phase1: processed frame %d / %d", start, n_frames)
 
