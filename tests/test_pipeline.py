@@ -237,3 +237,33 @@ class TestPhase2:
         # steady=0 (no file) -> Pss = ps; T = tcavg
         expect = 0.5 + 0.01 * 75.0 + 0.001 * 500.0
         np.testing.assert_allclose(gain[vis], expect, rtol=1e-5)
+
+
+class TestStatisticsAccumulation:
+    def test_f32_tree_reduction_bound_50k_frames(self):
+        """Measured bound for the TPU (no-f64) path of phase1_statistics:
+        XLA's tree-shaped f32 reduction stays within 5e-7 relative of the
+        f64 oracle at the reference's 50k-frame campaign scale
+        (psp_process.cpp:1722-1730 uses f64 partials for the same reason).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        F, N = 50000, 64
+        x = (2000 + 300 * rng.standard_normal((F, N))).astype(np.float32)
+
+        # force the f32 path regardless of the test-suite x64 default
+        avg32 = np.asarray(
+            jax.jit(lambda a: jnp.mean(a, axis=0))(jnp.asarray(x))
+        )
+        rms32 = np.asarray(
+            jax.jit(lambda a: jnp.sqrt(jnp.mean(a * a, axis=0)))(
+                jnp.asarray(x)
+            )
+        )
+        avg64 = x.astype(np.float64).mean(axis=0)
+        rms64 = np.sqrt((x.astype(np.float64) ** 2).mean(axis=0))
+        scale = np.abs(avg64).max()
+        assert np.abs(avg32 - avg64).max() / scale < 5e-7
+        assert np.abs(rms32 - rms64).max() / scale < 5e-7
