@@ -216,3 +216,35 @@ class TestChunkProcessorFFT:
         np.testing.assert_allclose(
             out2.intensity[v], out1.intensity[v], rtol=1e-5, atol=1e-3
         )
+
+
+class TestBandedWarpPath:
+    def test_integer_shift_matches_warp(self):
+        """integer_shift == the warp convention for a pure integer t."""
+        from upsp_tpu.ops.warp import integer_shift, warp_affine_mxu
+
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.normal(size=(40, 56)).astype(np.float32))
+        for tx, ty in [(3, -2), (-7, 5), (0, 0)]:
+            w = jnp.asarray(
+                np.array([[1, 0, tx], [0, 1, ty]], np.float32)
+            )
+            a = np.asarray(warp_affine_mxu(img, w))
+            b = np.asarray(
+                integer_shift(img, jnp.asarray([tx, ty], jnp.float32))
+            )
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_banded_equals_dense_warp(self):
+        """Banded separable resample == dense tent matmuls within band."""
+        from upsp_tpu.ops.warp import warp_affine_mxu
+
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(rng.normal(size=(48, 64)).astype(np.float32))
+        w = jnp.asarray(
+            np.array([[1.001, 3e-4, 2.3], [-2e-4, 0.9993, -3.7]], np.float32)
+        )
+        d = np.asarray(warp_affine_mxu(img, w))
+        b = np.asarray(warp_affine_mxu(img, w, band=8))
+        np.testing.assert_allclose(b, d, atol=1e-4)
+

@@ -52,6 +52,28 @@ def decimate_image(img: jax.Array, k: int) -> jax.Array:
     return img[:hh, :ww].reshape(hh // k, k, ww // k, k).mean(axis=(1, 3))
 
 
+def _pow2_floor(n: int) -> int:
+    k = 1
+    while k * 2 <= n:
+        k *= 2
+    return k
+
+
+def pow2_center_crop(img: jax.Array) -> jax.Array:
+    """Center-crop both dims to the largest power of two.
+
+    XLA's TPU FFT lowers non-power-of-two sizes to serial loop
+    implementations (profiled: 12 ~1.2 ms `while` ops per 8-frame batch for
+    300x450 spectra vs essentially free at 256x256).  Translation is
+    preserved under a common centered crop of template and frame, and the
+    capture range (crop/2 x decimate) stays in the hundreds of pixels.
+    """
+    h, w = img.shape
+    h2, w2 = _pow2_floor(h), _pow2_floor(w)
+    y0, x0 = (h - h2) // 2, (w - w2) // 2
+    return img[y0 : y0 + h2, x0 : x0 + w2]
+
+
 def _hann(n: int) -> jax.Array:
     k = jnp.arange(n, dtype=jnp.float32)
     return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * k / n)
@@ -77,7 +99,7 @@ def prepare_template(
 ) -> CorrelationTemplate:
     """Template spectrum for :func:`correlate`.  MUST run inside jit on this
     backend (complex64 cannot cross the host boundary)."""
-    small = decimate_image(ref.astype(jnp.float32), decimate)
+    small = pow2_center_crop(decimate_image(ref.astype(jnp.float32), decimate))
     h, w = small.shape
     win = (_hann(h)[:, None] * _hann(w)[None, :]) if window else jnp.float32(1.0)
     return CorrelationTemplate(
@@ -96,7 +118,9 @@ def correlate(tmpl: CorrelationTemplate, img: jax.Array) -> jax.Array:
     the template.
     """
     h, w = tmpl.hw
-    small = decimate_image(img.astype(jnp.float32), tmpl.decimate)
+    small = pow2_center_crop(
+        decimate_image(img.astype(jnp.float32), tmpl.decimate)
+    )
     img_f = jnp.fft.rfft2(small * tmpl.window)
     cross = tmpl.spectrum * jnp.conj(img_f)
     cross = cross / (jnp.abs(cross) + 1e-8)

@@ -81,6 +81,45 @@ def warp_affine(img: jax.Array, warp: jax.Array, interpolation: str = "linear"):
     return _sample_bilinear(img, wx, wy)
 
 
+def _chol_factor_unrolled(H: jax.Array, n: int = 6):
+    """Compile-time-unrolled Cholesky of a tiny SPD matrix.
+
+    ``jnp.linalg.inv``/``solve`` lower tiny LU factorizations to serial
+    ``while`` loops that cost ~1.2 ms EACH on this backend (latency-bound;
+    profiled as 12% of the whole phase-1 program).  Unrolling the n=6
+    factorization into scalar ops makes it free.  Returns L as a Python
+    list-of-lists of traced scalars.
+    """
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = H[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def _chol_solve_unrolled(L, b: jax.Array, n: int = 6) -> jax.Array:
+    """Solve (L L^T) x = b with the unrolled factor from above."""
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _gradients(img: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Central differences with replicated edges ([-0.5, 0, 0.5] filter)."""
     gx = jnp.zeros_like(img)
@@ -126,7 +165,8 @@ def ecc_affine_pyramid(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_iters", "gauss_size", "return_iters", "unroll", "coarse_iters"
+        "max_iters", "gauss_size", "return_iters", "unroll", "coarse_iters",
+        "band",
     ),
 )
 def ecc_affine(
@@ -139,6 +179,8 @@ def ecc_affine(
     return_iters: bool = False,
     unroll: bool = False,
     coarse_iters: int = 0,
+    band: int | None = None,
+    valid_shift: jax.Array | None = None,
 ):
     """Estimate the 2x3 affine warp aligning ``inp`` to ``ref`` by ECC maximization.
 
@@ -160,13 +202,16 @@ def ecc_affine(
 
         rc = downsample2(ref.astype(jnp.float32))
         ic = downsample2(inp.astype(jnp.float32))
+        vs_c = None if valid_shift is None else valid_shift * 0.5
         wc, _, _ = _ecc_core(
             rc, ic, scale_warp(init, 0.5), max_iters=coarse_iters,
-            epsilon=epsilon, gauss_size=gauss_size, unroll=True,
+            epsilon=epsilon, gauss_size=gauss_size, unroll=True, band=band,
+            valid_shift=vs_c,
         )
         init = scale_warp(wc, 2.0)
     out = _ecc_core(ref, inp, init, max_iters=max_iters,
-                    epsilon=epsilon, gauss_size=gauss_size, unroll=unroll)
+                    epsilon=epsilon, gauss_size=gauss_size, unroll=unroll,
+                    band=band, valid_shift=valid_shift)
     if unroll and coarse_iters > 0:
         out = (out[0], out[1], out[2] + coarse_iters)
     return out if return_iters else out[:2]
@@ -180,6 +225,8 @@ def _ecc_core(
     epsilon: float = 1e-3,
     gauss_size: int = 5,
     unroll: bool = False,
+    band: int | None = None,
+    valid_shift: jax.Array | None = None,
 ):
     dtype = jnp.float32
     tmpl = gaussian_blur(ref.astype(dtype), gauss_size)
@@ -197,18 +244,33 @@ def _ecc_core(
         # the affine chain rule  grad(img)(Wp) = A^-T grad_p[img(Wp)],
         # exact for affine warps up to the same finite-difference error as
         # differentiating the unwarped image.
-        iw = warp_affine_mxu(img, warp, order=2)
+        iw = warp_affine_mxu(img, warp, order=2, band=band)
         gix, giy = _gradients(iw)
-        A = warp[:, :2]
-        Ainv_T = jnp.linalg.inv(A).T
-        gx = Ainv_T[0, 0] * gix + Ainv_T[0, 1] * giy
-        gy = Ainv_T[1, 0] * gix + Ainv_T[1, 1] * giy
+        # closed-form 2x2 inverse-transpose (jnp.linalg.inv lowers to a
+        # serial while loop even at 2x2 — see _chol_factor_unrolled note)
+        a00, a01 = warp[0, 0], warp[0, 1]
+        a10, a11 = warp[1, 0], warp[1, 1]
+        detA = a00 * a11 - a01 * a10
+        gx = (a11 * gix - a10 * giy) / detA
+        gy = (-a01 * gix + a00 * giy) / detA
 
         # validity mask: pixels whose warped sample lies fully in-bounds.
         # All statistics/projections are restricted to it (findTransformECC
         # warps its mask the same way); without this the constant-0 border
         # drags the mean and diverges the solve.
-        m = warp_validity_mask((H, W), warp)
+        # when the input was integer-pre-shifted (fft mode), the zero strip
+        # it introduced corresponds to samples the COMPOSED warp would take
+        # out of bounds — mask with the composed translation so the strip
+        # never enters the statistics (findTransformECC's warped mask
+        # behaves the same way)
+        mask_warp = (
+            warp
+            if valid_shift is None
+            else jnp.concatenate(
+                [warp[:, :2], (warp[:, 2] + valid_shift)[:, None]], axis=1
+            )
+        )
+        m = warp_validity_mask((H, W), mask_warp)
         area = jnp.maximum(jnp.sum(m), 1.0)
         gx = gx * m
         gy = gy * m
@@ -264,16 +326,19 @@ def _ecc_core(
         # off the image and the masked Hessian degenerates (the reference's
         # cv2 throws in that case; we freeze on the last finite iterate)
         reg = 1e-9 * jnp.trace(Hmat) / 6.0 + 1e-12
-        Hinv = jnp.linalg.inv(Hmat + reg * jnp.eye(6, dtype=dtype))
+        Lc = _chol_factor_unrolled(Hmat + reg * jnp.eye(6, dtype=dtype))
         i_proj = proj(i_zm)
         t_proj = proj(t_zm)
         iw_norm2 = jnp.sum(i_zm * i_zm)
         corr = jnp.sum(t_zm * i_zm)
 
-        num = iw_norm2 - i_proj @ Hinv @ i_proj
-        den = corr - t_proj @ Hinv @ i_proj
+        Hinv_i = _chol_solve_unrolled(Lc, i_proj)  # Hinv @ i_proj
+        Hinv_t = _chol_solve_unrolled(Lc, t_proj)  # Hinv @ t_proj
+        num = iw_norm2 - i_proj @ Hinv_i
+        den = corr - t_proj @ Hinv_i
         lam = num / jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
-        dp = Hinv @ proj(lam * t_zm - i_zm)
+        # dp = Hinv @ proj(lam*t_zm - i_zm), and proj is linear in z
+        dp = lam * Hinv_t - Hinv_i
 
         dwarp = jnp.array(
             [[dp[0], dp[2], dp[4]], [dp[1], dp[3], dp[5]]], dtype

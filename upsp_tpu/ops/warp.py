@@ -36,14 +36,52 @@ def _tent_matrix(n_out: int, n_src: int, positions: jax.Array) -> jax.Array:
     return jnp.maximum(0.0, 1.0 - jnp.abs(positions[:, None] - j[None, :]))
 
 
-@functools.partial(jax.jit, static_argnames=("order",))
+def _resample_rows_banded(img: jax.Array, pos: jax.Array, band: int) -> jax.Array:
+    """Row resample out[i, :] = sum_j tent(pos[i] - j) img[j, :], banded.
+
+    The dense tent matrix has 2 nonzeros per row; when |pos[i] - i| <= band-1
+    (near-identity warps — uPSP vibration is a few px, and the reference's
+    own identity-start ECC assumes motion within the blur radius), only
+    diagonals i-band..i+band contribute, so the (H,H)@(H,W) MXU matmul
+    (2.6 GFLOP at 2 MP) collapses to 2*band+1 fused weighted adds
+    (bandwidth-bound, one pass).  Zero padding reproduces the dense matrix's
+    BORDER_CONSTANT semantics exactly.
+    """
+    H = img.shape[0]
+    base = jnp.arange(H, dtype=pos.dtype)
+    pad = jnp.pad(img, ((band, band), (0, 0)))
+    out = jnp.zeros_like(img)
+    for d in range(-band, band + 1):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(pos - (base + d)))
+        out = out + w[:, None] * pad[band + d : band + d + H, :]
+    return out
+
+
+def _resample_cols_banded(img: jax.Array, pos: jax.Array, band: int) -> jax.Array:
+    """Column analog of :func:`_resample_rows_banded`."""
+    W = img.shape[1]
+    base = jnp.arange(W, dtype=pos.dtype)
+    pad = jnp.pad(img, ((0, 0), (band, band)))
+    out = jnp.zeros_like(img)
+    for d in range(-band, band + 1):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(pos - (base + d)))
+        out = out + w[None, :] * pad[:, band + d : band + d + W]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("order", "band"))
 def warp_affine_mxu(
-    img: jax.Array, warp: jax.Array, order: int = 2
+    img: jax.Array, warp: jax.Array, order: int = 2, band: int | None = None
 ) -> jax.Array:
     """out(y, x) = img(W @ [x, y, 1]) via separable matmuls + shear Taylor.
 
     ``order``: 0 = separable part only (ignore shear), 1/2 = Taylor order for
     the shear residual.  Matches gather-bilinear to O(shear_disp^(order+1)).
+    ``band``: use the banded elementwise resample instead of the dense MXU
+    matmuls — exact (no matmul rounding) while every sample displacement
+    stays within band-1 px.  Measured SLOWER than the MXU path on this
+    backend despite the 250x FLOP cut (the MXU wins even at 0.1% density);
+    serves as the precision oracle and a fallback for matmul-free builds.
     """
     H, W = img.shape
     dtype = jnp.float32
@@ -59,9 +97,23 @@ def warp_affine_mxu(
     # separable sample positions (residual shear centered at the image middle)
     y_sep = a11 * ys + ty + a10 * cx
     x_sep = a00 * xs + tx + a01 * cy
-    R = _tent_matrix(H, H, y_sep)
-    C = _tent_matrix(W, W, x_sep)
-    sep = R @ img @ C.T
+    if band is not None:
+        sep = _resample_cols_banded(
+            _resample_rows_banded(img, y_sep, band), x_sep, band
+        )
+    else:
+        R = _tent_matrix(H, H, y_sep)
+        C = _tent_matrix(W, W, x_sep)
+        # Precision note (measured against the exact banded path at 2 MP):
+        # the TPU's default bf16 matmul rounds both the tent weights and the
+        # image to 8 mantissa bits, leaving ~|I| * 2^-8 ~ 10-24 counts of
+        # quantization per warp.  Real 12-bit camera data carries ~sqrt(I)
+        # ~ 50 counts of shot noise at these levels, so this adds <1% to the
+        # physical noise floor and averages out over the 10k-50k-frame
+        # statistics; Precision.HIGHEST removes it at +38% phase-1 cost and
+        # band=8 removes it exactly (slower still) — both available when a
+        # quantization-free resample matters more than throughput.
+        sep = R @ img @ C.T
 
     if order == 0:
         return sep
@@ -132,6 +184,24 @@ def downsample2(img: jax.Array) -> jax.Array:
     H, W = img.shape
     h2, w2 = H // 2, W // 2
     return img[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+
+
+def integer_shift(img: jax.Array, t_int: jax.Array) -> jax.Array:
+    """Zero-filled integer translation: out(y, x) = img(y + ty, x + tx).
+
+    ``t_int``: (2,) [tx, ty] integer-valued (float ok).  Matches sampling the
+    image at the translated position with BORDER_CONSTANT zeros — the warp
+    convention of :func:`warp_affine_mxu` for a pure integer translation.
+    One dynamic roll + an elementwise mask; cheap under vmap.
+    """
+    H, W = img.shape
+    tx = t_int[0].astype(jnp.int32)
+    ty = t_int[1].astype(jnp.int32)
+    r = jnp.roll(img, (-ty, -tx), (0, 1))
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    m = (ys + ty >= 0) & (ys + ty < H) & (xs + tx >= 0) & (xs + tx < W)
+    return jnp.where(m, r, 0.0)
 
 
 def scale_warp(warp: jax.Array, factor: float) -> jax.Array:

@@ -87,6 +87,8 @@ def _process_frame_core(
     warp_init: Optional[jax.Array] = None,  # (C, 2, 3) ECC warm start
     ecc_unroll_iters: Optional[int] = None,
     ecc_coarse_iters: int = 0,
+    ecc_band: Optional[int] = None,
+    ecc_valid_shift: Optional[jax.Array] = None,  # (C, 2) pre-shift [tx, ty]
 ):
     """One multi-camera frame -> (intensity (N,), warps (C,2,3), telemetry (C,4)).
 
@@ -112,11 +114,14 @@ def _process_frame_core(
                 {}
                 if ecc_unroll_iters is None
                 else dict(max_iters=ecc_unroll_iters, unroll=True,
-                          coarse_iters=ecc_coarse_iters)
+                          coarse_iters=ecc_coarse_iters, band=ecc_band)
+            )
+            vs_c = (
+                None if ecc_valid_shift is None else ecc_valid_shift[c]
             )
             warp, rho, iters = ecc_affine(
                 params.ref_frames[c], img, warp_init=init_c,
-                return_iters=True, **ecc_kw
+                valid_shift=vs_c, return_iters=True, **ecc_kw
             )
             telemetry.append(
                 jnp.stack([rho, iters.astype(jnp.float32), warp[0, 2], warp[1, 2]])
@@ -125,7 +130,7 @@ def _process_frame_core(
             if interpolation == "nearest":
                 img = warp_affine(img, warp, interpolation="nearest")
             else:
-                img = warp_affine_mxu(img, warp)
+                img = warp_affine_mxu(img, warp, band=ecc_band)
         else:
             telemetry.append(jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32))
             warps.append(identity_warp())
@@ -247,6 +252,7 @@ def make_chunk_processor(
     frame_batch: int = 1,
     ecc_iters: Optional[int] = None,
     ecc_coarse_iters: Optional[int] = None,
+    ecc_band: Optional[int] = None,
 ):
     """Build the chunk program: (F, C, H, W) frames -> (F, N) intensities.
 
@@ -275,6 +281,12 @@ def make_chunk_processor(
       The default 2 full-res steps reach the while_loop fixed point from a
       phase-correlation init — GN converges quadratically from the sub-pixel
       start, verified in tests/test_fftreg.py::TestFixedIterECC.
+    - ``ecc_band`` (fft mode only, opt-in): use the BANDED separable
+      resample (ops/warp.py) for every warp — exact while total
+      displacements stay within band-1 px.  MEASURED SLOWER than the dense
+      MXU path on this backend (the MXU wins even at 0.1% matrix density),
+      so the default stays ``None``; the banded path doubles as an
+      exactness oracle for the dense path's matmul precision.
     """
     # production default: 2 full-resolution GN steps, no coarse stage.  A 2x
     # coarse step was measured SLOWER on this backend (the decimated-size
@@ -334,16 +346,15 @@ def make_chunk_processor(
             ]
 
             def one(frame):
-                init = jnp.stack(
-                    [
-                        translation_warp(correlate(tmpls[c], frame[c]))
-                        for c in range(n_cams)
-                    ]
-                )
+                tvecs = jnp.stack(
+                    [correlate(tmpls[c], frame[c]) for c in range(n_cams)]
+                )  # (C, 2) [tx, ty], full-res px
+                init = jax.vmap(translation_warp)(tvecs)
                 sol, _, tele = _process_frame_core(
                     frame, p, warp_init=init,
                     ecc_unroll_iters=ecc_iters,
-                    ecc_coarse_iters=ecc_coarse_iters, **static
+                    ecc_coarse_iters=ecc_coarse_iters,
+                    ecc_band=ecc_band, **static
                 )
                 return sol, tele
 
