@@ -128,7 +128,6 @@ _DRIVER_WORKER = textwrap.dedent(
 )
 
 
-@pytest.mark.timeout(120)
 def test_two_process_distributed(tmp_path):
     sock = socket.socket()
     sock.bind(("127.0.0.1", 0))
@@ -166,7 +165,6 @@ def test_two_process_distributed(tmp_path):
     assert "DIST_OK" in outs[0][1]
 
 
-@pytest.mark.timeout(120)
 def test_two_process_production_driver(tmp_path):
     """run_datapoint over a GLOBAL mesh spanning two processes (4 virtual
     devices each) matches the single-process oracle — the true multi-host

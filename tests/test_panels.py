@@ -153,3 +153,114 @@ class TestIntegrateForcesCLI:
         np.testing.assert_allclose(fomo[:, 2, :].sum(axis=0), -48.0, rtol=1e-5)
         lines = (tmp_path / "fomo_out" / "panels.csv").read_text().splitlines()
         assert len(lines) == 13 and lines[0].startswith("panel,")
+
+
+class TestOperatorRowAlignment:
+    def test_unassigned_nodes_keep_rows_aligned(self, tmp_path):
+        """Panels covering only part of the model: operator row i must stay
+        panel id i (unassigned nodes dropped), and the CLI must not crash or
+        shift rows (regression: np.unique compacted away the -1 bucket and
+        empty panels, misaligning fomo with panels.csv)."""
+        import os
+        import subprocess
+        import sys
+
+        from upsp_tpu.geometry.grids import from_struct_grid
+        from upsp_tpu.io.plot3d import write_p3d_grid
+        from upsp_tpu.ops.integration import integration_matrices
+        from upsp_tpu.ops.panels import panel_node_map, panels_from_grid
+        from upsp_tpu.pipeline.synthetic import make_plate_grid
+
+        REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        fine = make_plate_grid(25, 19, 8.0, 6.0)
+        model = from_struct_grid(fine)
+        # panel grid covers only the left HALF of the plate -> right-half
+        # nodes unassigned (-1), and some panels may be empty
+        half = make_plate_grid(4, 4, 4.0, 6.0)
+        panels = panels_from_grid(half)
+        p_of_n = panel_node_map(model, panels)
+        assert (p_of_n == -1).any()
+
+        op = integration_matrices(model, panel_of_node=p_of_n,
+                                  n_panels=panels.size)
+        assert op.shape[0] == panels.size
+        # each panel row's support is its own nodes plus boundary-triangle
+        # corners (first-node-wins tri assignment): every touched node with
+        # an assignment belongs to SOME panel, and the row's majority
+        # support is its own panel
+        for i in range(panels.size):
+            touched = np.nonzero(op[i, 2, :])[0]
+            if touched.size:
+                own = (p_of_n[touched] == i).mean()
+                assert own > 0.5, (i, own)
+        # nodes deep inside the uncovered half (well away from the panel
+        # boundary) contribute to NO panel
+        deep = np.nonzero(model.vertices[:, 0] > 6.0)[0]
+        assert deep.size > 0
+        assert np.abs(op[:, :, deep]).max() == 0.0
+        assert np.isfinite(op).all()
+
+        # CLI end-to-end with partial coverage
+        grid_path = str(tmp_path / "model.grid")
+        write_p3d_grid(grid_path, fine)
+        pgrid_path = str(tmp_path / "panels_half.g")
+        write_p3d_grid(pgrid_path, half)
+        F = 4
+        pt = np.ones((model.size, F), np.float32)
+        pt_path = str(tmp_path / "pressure_transpose")
+        pt.astype("<f4").tofile(pt_path)
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "upsp-integrate-forces"),
+             "--grid", grid_path, "--panel-grid", pgrid_path,
+             "--pressure", pt_path, "--out", str(tmp_path / "out")],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=180,
+        )
+        assert r.returncode == 0, r.stderr
+        fomo = np.fromfile(str(tmp_path / "out" / "fomo"), "<f4").reshape(
+            panels.size, 6, F
+        )
+        # Cp=1: total Fz ~= -(covered area) ~= -half the plate
+        total_fz = fomo[:, 2, 0].sum()
+        assert -28.0 < total_fz < -22.0  # half plate (24) + boundary ring
+
+
+class TestFrameMajorH5Input:
+    def test_cli_reads_frame_major_h5(self, tmp_path):
+        """upsp-integrate-forces handles the reference's frame-major (F, N)
+        HDF5 layout (transpose attr 0) — regression for node/frame-axis
+        confusion."""
+        import os
+        import subprocess
+        import sys
+
+        h5py = pytest.importorskip("h5py")
+        from upsp_tpu.io.hdf5io import PSPWriter
+        from upsp_tpu.io.plot3d import write_p3d_grid
+
+        REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        fine = make_plate_grid(17, 13, 8.0, 6.0)
+        model = from_struct_grid(fine)
+        grid_path = str(tmp_path / "model.grid")
+        write_p3d_grid(grid_path, fine)
+        pgrid_path = str(tmp_path / "panels.g")
+        write_p3d_grid(pgrid_path, make_plate_grid(5, 4, 8.0, 6.0))
+        F = 6
+        h5 = str(tmp_path / "out.h5")
+        with PSPWriter(h5, model, n_frames=F, transposed=False) as w:
+            w.write_grid("in")
+            w.write_frames_block(np.ones((model.size, F), np.float32))
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "upsp-integrate-forces"),
+             "--grid", grid_path, "--panel-grid", pgrid_path,
+             "--pressure", h5, "--out", str(tmp_path / "out")],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=180,
+        )
+        assert r.returncode == 0, r.stderr
+        fomo = np.fromfile(str(tmp_path / "out" / "fomo"), "<f4").reshape(
+            12, 6, F
+        )
+        np.testing.assert_allclose(fomo[:, 2, :].sum(axis=0), -48.0, rtol=1e-5)

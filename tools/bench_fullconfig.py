@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--grid", default="1024,1024")  # ~1.05M nodes
     ap.add_argument("--frame-batch", type=int, default=8)
     ap.add_argument("--ecc-iters", type=int, default=None,
-                    help="fine GN steps (default: production 1 fine + 1 coarse)")
+                    help="fine GN steps (default: production 2 full-res, 0 coarse)")
     ap.add_argument("--ecc-coarse-iters", type=int, default=None)
     ap.add_argument("--phase1-only", action="store_true")
     ap.add_argument("--reps", type=int, default=3)

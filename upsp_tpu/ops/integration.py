@@ -43,6 +43,7 @@ def integration_matrices(
     model: SurfaceModel,
     panel_of_node: Optional[np.ndarray] = None,
     moment_center: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    n_panels: Optional[int] = None,
 ) -> np.ndarray:
     """Dense (P, 6, N) operator: panel F&M from nodal Cp.
 
@@ -50,13 +51,24 @@ def integration_matrices(
     its 3 nodes' Cp values (Cp_face = mean of corners), and the triangle
     belongs to the panel of its first node.  ``panel_of_node`` defaults to the
     model's component ids.
+
+    ``n_panels``: when given, row i of the operator is EXACTLY panel id i
+    (0..n_panels-1) — the alignment contract for PanelSet-derived maps from
+    :func:`upsp_tpu.ops.panels.panel_node_map`, whose unassigned nodes carry
+    id -1; triangles on unassigned nodes are dropped.  Without it, rows
+    follow np.unique of the (non-negative) ids — the component-id case.
     """
     if panel_of_node is None:
         panel_of_node = model.components
     panel_of_node = np.asarray(panel_of_node)
-    panels = np.unique(panel_of_node)
-    panel_index = {p: i for i, p in enumerate(panels)}
-    P = len(panels)
+    if n_panels is None:
+        panels = np.unique(panel_of_node)
+        panels = panels[panels >= 0]
+        panel_index = {p: i for i, p in enumerate(panels)}
+        P = len(panels)
+    else:
+        P = int(n_panels)
+        panel_index = {p: p for p in range(P)}
     N = model.size
 
     normals, areas = triangle_normals_areas(model.vertices, model.triangles)
@@ -65,10 +77,15 @@ def integration_matrices(
     r = centroids - np.asarray(moment_center, np.float32)
 
     op = np.zeros((P, 6, N), np.float32)
-    tri_panel = np.array([panel_index[p] for p in panel_of_node[tris[:, 0]]])
+    tri_panel = np.array(
+        [panel_index.get(p, -1) for p in panel_of_node[tris[:, 0]]]
+    )
+    keep = tri_panel >= 0  # drop triangles on unassigned (-1) nodes
+    tri_panel = tri_panel[keep]
+    tris = tris[keep]
     # force contribution of each corner node: -(A/3) * n per unit Cp
-    f_per_cp = -(areas[:, None] / 3.0) * normals  # (T, 3)
-    m_per_cp = np.cross(r, f_per_cp)  # (T, 3)
+    f_per_cp = (-(areas[:, None] / 3.0) * normals)[keep]  # (T, 3)
+    m_per_cp = np.cross(r[keep], f_per_cp)  # (T, 3)
     for k in range(3):
         nodes = tris[:, k]
         for d in range(3):

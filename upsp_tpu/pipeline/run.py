@@ -245,9 +245,12 @@ def run_datapoint(
     # defaulting to the deck's output directory (psp_process.cpp:1261)
     diag_dir = cfg.add_out_dir or cfg.out_dir
     if write_outputs and diag_dir:
-        from upsp_tpu.pipeline.diagnostics import write_phase0_diagnostics
+        try:
+            from upsp_tpu.pipeline.diagnostics import write_phase0_diagnostics
 
-        write_phase0_diagnostics(state, diag_dir)
+            write_phase0_diagnostics(state, diag_dir)
+        except ImportError:
+            log.warning("opencv unavailable; skipped diagnostic images")
     if checkout:
         if readers:
             for r in readers:
@@ -422,7 +425,7 @@ def run_datapoint_streaming(
             batch = jnp.asarray(chunk)
             if mesh is not None:
                 batch = jax.device_put(batch, frame_sharding(mesh))
-            out = np.asarray(fn(batch))[:valid]
+            out = fetch_global(fn(batch))[:valid]
             writer.submit(start * n_nodes * 4, out.astype("<f4"))
             with np.errstate(invalid="ignore"):
                 sum_i += np.nansum(out, axis=0, dtype=np.float64)
@@ -502,13 +505,13 @@ def run_datapoint_streaming(
                 const,
                 det,
             )
-            press = np.asarray(out2.pressure_transpose)
+            press = fetch_global(out2.pressure_transpose)
             pwriter.submit(n0 * n_frames * 4, press.astype("<f4"))
             if h5w is not None:
                 h5w.write_frames_block(press, node_start=n0)
-            rms_all[n0 : n0 + nw] = np.asarray(out2.rms)
-            avg_all[n0 : n0 + nw] = np.asarray(out2.avg)
-            gain_all[n0 : n0 + nw] = np.asarray(out2.gain)
+            rms_all[n0 : n0 + nw] = fetch_global(out2.rms)
+            avg_all[n0 : n0 + nw] = fetch_global(out2.avg)
+            gain_all[n0 : n0 + nw] = fetch_global(out2.gain)
         steady_out = _steady_for_output(steady)
         if h5w is not None:
             h5w.write_new_dataset("rms", rms_all, "delta Cp")
