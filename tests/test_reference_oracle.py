@@ -30,6 +30,118 @@ pytestmark = pytest.mark.skipif(
 sys.path.insert(0, REF_PY)
 
 
+def setup_module(module):
+    _shim_optional_deps()
+
+
+def _shim_optional_deps():
+    """Stub shapely + the pybind11 raycast module so the reference's pure-
+    Python calibration modules import (neither is used by what we call)."""
+    import types
+
+    for name, attrs in [
+        ("shapely", {}),
+        ("shapely.geometry", {"Polygon": object}),
+        ("upsp.raycast", {}),
+    ]:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[name] = m
+
+
+class TestParserOracle:
+    """Byte-level file-format parity: our parsers vs the reference's own
+    parsers on the SAME fixture files (parsers.py:7-425)."""
+
+    def test_tgts_parse_identical(self, ref_data):
+        from upsp.cam_cal_utils import parsers as ref_parsers
+
+        from upsp_tpu.io.tgts import read_tgts
+
+        path = str(ref_data / "fml_tc3_volume.tgts")
+        ref = ref_parsers.read_tgts(path)
+        ours = read_tgts(path)
+        assert len(ours) == len(ref)
+        for t_ref, t in zip(ref, ours):
+            np.testing.assert_allclose(t.xyz, t_ref["tvec"].reshape(3))
+            np.testing.assert_allclose(t.norm, t_ref["norm"].reshape(3))
+            assert t.diameter == pytest.approx(t_ref["size"])
+            assert t.target_type == t_ref["target_type"]
+            assert t.idx == t_ref["idx"]
+
+    def test_wtd_parse_identical(self, ref_data):
+        from upsp.cam_cal_utils import parsers as ref_parsers
+
+        from upsp_tpu.io.wtd import read_wtd
+
+        path = str(ref_data / "wtd_test.wtd")
+        ref = ref_parsers.read_wind_tunnel_data(path)
+        cond = read_wtd(path)
+        ours = {"ALPHA": cond.alpha, "BETA": cond.beta, "PHI": cond.phi,
+                "STRUTZ": cond.strutz}
+        for k, v in ref.items():
+            assert ours[k] == pytest.approx(v), k
+
+    def test_max_inlier_scaling_identical(self, ref_data):
+        """Our 8-bit max-inlier normalization == img_utils.scale_image_max_inlier
+        on the real fixture camera frame (the swdd-documented algorithm)."""
+        from upsp.cam_cal_utils import img_utils as ref_iu
+
+        from upsp_tpu.ops.image import scale_image_max_inlier
+
+        img = cv2.imread(
+            str(ref_data / "images" /
+                "CAM1_RUN8_CINE02_Y20000209H11294501.00001.png"),
+            cv2.IMREAD_GRAYSCALE + cv2.IMREAD_ANYDEPTH,
+        )
+        ref = ref_iu.scale_image_max_inlier(img)
+        ours = scale_image_max_inlier(img)
+        np.testing.assert_array_equal(np.asarray(ours), ref)
+
+
+class TestTunnelTransformOracle:
+    def test_tunnel_transform_matches_reference(self, ref_data):
+        """[P][Y][R] strutz chain == camera_tunnel_calibrate.tunnel_transform
+        on the fixture WTD angles."""
+        from upsp.cam_cal_utils import camera_tunnel_calibrate as ref_ctc
+        from upsp.cam_cal_utils import parsers as ref_parsers
+
+        from upsp_tpu.camera.tunnel import tf_camera_tgts_thru_tunnel, tunnel_transform
+        from upsp_tpu.io.camera_json import read_camera_json
+
+        wtd = ref_parsers.read_wind_tunnel_data(str(ref_data / "wtd_test.wtd"))
+        tvec_cor = np.array([1.25, -2.5, 0.75])
+        R_ref, t_ref = ref_ctc.tunnel_transform(
+            wtd["ALPHA"], wtd["BETA"], wtd["PHI"], wtd["STRUTZ"],
+            tvec_cor.reshape(3, 1),
+        )
+        R, t = tunnel_transform(
+            wtd["ALPHA"], wtd["BETA"], wtd["PHI"], wtd["STRUTZ"], tvec_cor
+        )
+        np.testing.assert_allclose(R, R_ref, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(t).reshape(3), np.asarray(t_ref).reshape(3), atol=1e-12
+        )
+
+        # full chain with the fixture camera-tunnel calibration
+        cal = read_camera_json(
+            str(ref_data / "camera-tunnel-calibration" / "camera01_35_6.json"),
+            dims_hw=(512, 1024),
+        )
+        ctc_list = [cal.rmat, cal.tvec.reshape(3, 1), cal.camera_matrix,
+                    cal.dist_coeffs]
+        cfg = {"tunnel-cor_to_tgts_tvec": tvec_cor.reshape(3, 1)}
+        R2_ref, t2_ref = ref_ctc.tf_camera_tgts_thru_tunnel(ctc_list, wtd, cfg)
+        R2, t2 = tf_camera_tgts_thru_tunnel(cal.rmat, cal.tvec, wtd, cfg)
+        np.testing.assert_allclose(R2, R2_ref, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(t2).reshape(3), np.asarray(t2_ref).reshape(3),
+            atol=1e-12,
+        )
+
+
 @pytest.fixture(scope="module")
 def fixture_cam(ref_data):
     """Fixture camera01 as (rmat, tvec, cameraMatrix(abs), distCoeffs, hw)."""
@@ -133,6 +245,58 @@ class TestNodePixelMappingOracle:
         )
         ours = np.asarray(remap(mapping, new_pose))
         np.testing.assert_allclose(ours, ref_out, rtol=1e-6, atol=1e-6)
+
+
+class TestLocalizationOracle:
+    def test_super_gaussian_centers_match_reference(self):
+        """Batched LM super-Gaussian localization vs the reference's
+        scipy.curve_fit localizer (gaussian_localization_methods.py:154) on
+        identical noisy dot crops: both land within the 0.05-px-median spec
+        (docs/md/upsp-swdd.md:136) and within 0.05 px of EACH OTHER."""
+        import jax.numpy as jnp
+
+        from upsp.target_operations.gaussian_localization_methods import (
+            gauss_fitter_func,
+        )
+
+        from upsp_tpu.ops.localization import localize_targets
+
+        ref_fit = gauss_fitter_func("super")
+        rng = np.random.default_rng(21)
+        H, W = 64, 64
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+        pair_d, err_ref, err_ours = [], [], []
+        for k in range(8):
+            cx = 32 + rng.uniform(-0.5, 0.5)
+            cy = 32 + rng.uniform(-0.5, 0.5)
+            quad = ((xx - cx) ** 2) / (2 * 1.4**2) + ((yy - cy) ** 2) / (
+                2 * 1.4**2
+            )
+            img = 200.0 - 150.0 * np.exp(-np.power(quad, 3.0))
+            img += rng.normal(0, 1.0, (H, W))
+            img8 = np.clip(img, 0, 255).astype(np.uint8)
+
+            got = ref_fit(img8, center=(32.0, 32.0), target_type="dot")
+            ref_center = got[0]
+            assert ref_center is not None
+
+            res = localize_targets(
+                jnp.asarray(img8.astype(np.float32)),
+                jnp.asarray(np.array([[32.0, 32.0]])),
+                jnp.asarray(np.array([0])),
+                jnp.asarray(np.array([4])),
+                crop_size=11,
+            )
+            assert bool(res.valid[0])
+            ours = np.array(res.centers[0])
+            pair_d.append(np.linalg.norm(ours - np.asarray(ref_center)))
+            err_ref.append(np.linalg.norm(np.asarray(ref_center) - [cx, cy]))
+            err_ours.append(np.linalg.norm(ours - [cx, cy]))
+        assert np.median(err_ours) < 0.06
+        assert np.median(err_ref) < 0.06
+        assert np.median(pair_d) < 0.06
+        # our fit must not be worse than the reference's on the same data
+        assert np.median(err_ours) < np.median(err_ref) + 0.02
 
 
 class TestPatchingOracle:
