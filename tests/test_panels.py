@@ -264,3 +264,35 @@ class TestFrameMajorH5Input:
             12, 6, F
         )
         np.testing.assert_allclose(fomo[:, 2, :].sum(axis=0), -48.0, rtol=1e-5)
+
+
+class TestSplitModel:
+    def test_components_follow_panels(self):
+        """split_model labels triangles/nodes with containing-panel ids
+        (integration.h:171 component-setting role); outside -> -1."""
+        from upsp_tpu.ops.panels import (
+            assign_triangles_to_panels,
+            split_model,
+        )
+
+        fine = make_plate_grid(25, 19, 8.0, 6.0)
+        model = from_struct_grid(fine)
+        half = make_plate_grid(4, 4, 4.0, 6.0)  # covers left half only
+        panels = panels_from_grid(half)
+
+        tri_panel = assign_triangles_to_panels(model, panels)
+        assert tri_panel.shape[0] == model.triangles.shape[0]
+        centroids = model.vertices[model.triangles].mean(axis=1)
+        left = centroids[:, 0] < 3.8
+        right = centroids[:, 0] > 4.2
+        assert (tri_panel[left] >= 0).all()
+        assert (tri_panel[right] == -1).all()
+
+        split = split_model(model, panels)
+        assert split.components.shape == (model.size,)
+        deep_right = model.vertices[:, 0] > 4.5
+        assert (split.components[deep_right] == -1).all()
+        deep_left = model.vertices[:, 0] < 3.5
+        assert (split.components[deep_left] >= 0).all()
+        # panel ids are valid PanelSet indices
+        assert split.components.max() < panels.size

@@ -269,3 +269,36 @@ def panel_coverage(
     with np.errstate(invalid="ignore", divide="ignore"):
         frac = np.where(area > 0, cov_area / np.maximum(area, 1e-30), 0.0)
     return area.astype(np.float32), frac.astype(np.float32)
+
+
+def assign_triangles_to_panels(
+    model, panels: PanelSet, tol: float = 1e-6
+) -> np.ndarray:
+    """(T,) panel index per triangle, by centroid containment (-1 outside).
+
+    The component-labeling half of the reference's ``split_model``
+    (integration.h:171-178: set TriModel face components to the containing
+    panel's index, -1 when in none).  Triangles are kept whole — the
+    reference optionally re-meshes by cutting edges at panel boundaries,
+    which refines boundary attribution by a sub-triangle sliver; at the
+    grid resolutions uPSP integrates over, whole-triangle centroid
+    assignment changes panel areas by < one triangle per boundary edge.
+    """
+    centroids = model.vertices[model.triangles].mean(axis=1)
+    return assign_points_to_panels(centroids, panels, tol)
+
+
+def split_model(model, panels: PanelSet, tol: float = 1e-6):
+    """New SurfaceModel whose components are panel indices (split_model role).
+
+    Node components follow first-triangle-wins over the triangle assignment
+    (the convention of from_tri_mesh / the reference's TriModel components);
+    nodes whose every triangle lies outside all panels get component -1.
+    """
+    import dataclasses as _dc
+
+    tri_panel = assign_triangles_to_panels(model, panels, tol)
+    comp = np.full(model.size, -1, np.int32)
+    flat_nodes = model.triangles.reshape(-1)[::-1]
+    comp[flat_nodes] = np.repeat(tri_panel.astype(np.int32), 3)[::-1]
+    return _dc.replace(model, components=comp)
