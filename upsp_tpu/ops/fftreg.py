@@ -92,21 +92,53 @@ class CorrelationTemplate(NamedTuple):
     window: jax.Array  # (H/k, W/k) float32 (or scalar 1.0)
     decimate: int
     hw: tuple  # pooled (H, W)
+    prior: jax.Array  # (H, W) float32 peak prior (or scalar 1.0)
+
+
+def _displacement_prior(h: int, w: int, sigma: float) -> jax.Array:
+    """Gaussian prior over WRAPPED displacement, centered at zero shift.
+
+    Periodic scene content creates aliased correlation peaks a full texture
+    period away; on uPSP data the true frame-to-frame motion is vibration of
+    a few pixels (the reference's identity-start ECC assumes it is within
+    the blur radius), so weighting the correlation surface toward zero
+    displacement rejects distant aliases while leaving genuine shifts up to
+    ~2 sigma competitive.
+    """
+    dy = jnp.minimum(jnp.arange(h, dtype=jnp.float32), h - jnp.arange(h, dtype=jnp.float32))
+    dx = jnp.minimum(jnp.arange(w, dtype=jnp.float32), w - jnp.arange(w, dtype=jnp.float32))
+    py = jnp.exp(-0.5 * (dy / sigma) ** 2)
+    px = jnp.exp(-0.5 * (dx / sigma) ** 2)
+    return py[:, None] * px[None, :]
 
 
 def prepare_template(
-    ref: jax.Array, decimate: int = 1, window: bool = True
+    ref: jax.Array,
+    decimate: int = 1,
+    window: bool = True,
+    prior_sigma_px: float | None = 12.0,
 ) -> CorrelationTemplate:
     """Template spectrum for :func:`correlate`.  MUST run inside jit on this
-    backend (complex64 cannot cross the host boundary)."""
+    backend (complex64 cannot cross the host boundary).
+
+    ``prior_sigma_px``: width (FULL-RESOLUTION pixels) of the Gaussian
+    displacement prior applied to the correlation surface; ``None`` disables
+    it (pure phase correlation).
+    """
     small = pow2_center_crop(decimate_image(ref.astype(jnp.float32), decimate))
     h, w = small.shape
     win = (_hann(h)[:, None] * _hann(w)[None, :]) if window else jnp.float32(1.0)
+    prior = (
+        _displacement_prior(h, w, prior_sigma_px / decimate)
+        if prior_sigma_px is not None
+        else jnp.float32(1.0)
+    )
     return CorrelationTemplate(
         spectrum=jnp.fft.rfft2(small * win),
         window=win,
         decimate=decimate,
         hw=(h, w),
+        prior=prior,
     )
 
 
@@ -124,7 +156,7 @@ def correlate(tmpl: CorrelationTemplate, img: jax.Array) -> jax.Array:
     img_f = jnp.fft.rfft2(small * tmpl.window)
     cross = tmpl.spectrum * jnp.conj(img_f)
     cross = cross / (jnp.abs(cross) + 1e-8)
-    surf = jnp.fft.irfft2(cross, s=(h, w))
+    surf = jnp.fft.irfft2(cross, s=(h, w)) * tmpl.prior
     idx = jnp.argmax(surf)
     py = idx // w
     px = idx % w
