@@ -44,6 +44,42 @@ class TestWarpMXU:
         assert err.max() / scale < 0.01
         assert err.mean() / scale < 5e-4
 
+    def test_pre_blur_composition(self, rng):
+        """pre_blur folds the Gaussian into the tents: warp∘blur exactly."""
+        from upsp_tpu.ops.image import gaussian_blur
+
+        img = textured(rng)
+        W = jnp.array([[1.001, 2e-4, 0.7], [-1e-4, 0.999, -0.4]], jnp.float32)
+        for k in (3, 5):
+            composed = np.array(
+                warp_affine_mxu(jnp.asarray(img), W, pre_blur=k)
+            )
+            explicit = np.array(
+                warp_affine_mxu(gaussian_blur(jnp.asarray(img), k), W)
+            )
+            np.testing.assert_allclose(composed, explicit, atol=2e-3)
+        # banded fallback path takes the explicit-blur route
+        composed_b = np.array(
+            warp_affine_mxu(jnp.asarray(img), W, pre_blur=5, band=8)
+        )
+        explicit_b = np.array(
+            warp_affine_mxu(gaussian_blur(jnp.asarray(img), 5), W, band=8)
+        )
+        np.testing.assert_allclose(composed_b, explicit_b, atol=1e-4)
+
+    def test_blur_matrix_matches_blur(self, rng):
+        """gaussian_blur_matrix_1d reproduces the separable blur exactly."""
+        from upsp_tpu.ops.image import gaussian_blur, gaussian_blur_matrix_1d
+
+        img = textured(rng)
+        h, w = img.shape
+        By = gaussian_blur_matrix_1d(h, 5)
+        Bx = gaussian_blur_matrix_1d(w, 5)
+        via_mat = By @ img @ Bx.T
+        np.testing.assert_allclose(
+            via_mat, np.array(gaussian_blur(jnp.asarray(img), 5)), atol=1e-3
+        )
+
     def test_validity_mask(self):
         W = jnp.array([[1.0, 0.0, 5.0], [0.0, 1.0, -3.0]], jnp.float32)
         m = np.array(warp_validity_mask((32, 48), W))

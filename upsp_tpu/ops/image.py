@@ -95,6 +95,30 @@ def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+def gaussian_blur_matrix_1d(n: int, ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """(n, n) matrix form of the 1-D Gaussian blur with reflect-101 borders.
+
+    Row i holds the kernel taps at reflected source indices, so
+    ``B @ x == gaussian_blur_1d(x)`` exactly.  Used to pre-compose the ECC
+    blur into the separable-warp tent matrices (ops/warp.py): the blur then
+    costs one extra small MXU matmul per warp instead of two full HBM passes
+    per frame.
+    """
+    k = gaussian_kernel_1d(ksize, sigma)
+    r = ksize // 2
+    B = np.zeros((n, n), np.float32)
+    for t in range(ksize):
+        off = t - r
+        for i in range(n):
+            j = i + off
+            if j < 0:
+                j = -j  # reflect-101: -1 -> 1
+            elif j >= n:
+                j = 2 * (n - 1) - j
+            B[i, j] += k[t]
+    return B
+
+
 @functools.partial(jax.jit, static_argnames=("ksize",))
 def gaussian_blur(img: jax.Array, ksize: int = 3, sigma: float = 0.0) -> jax.Array:
     """Separable Gaussian blur with reflect-101 borders (cv2.GaussianBlur parity)."""

@@ -230,6 +230,11 @@ def _ecc_core(
 ):
     dtype = jnp.float32
     tmpl = gaussian_blur(ref.astype(dtype), gauss_size)
+    # NOTE a blur-free variant that composes the Gaussian into each
+    # iteration's warp tents (ops/warp.py pre_blur — exact by associativity)
+    # measured NEUTRAL on chip: the per-iteration (H,H)@(H,H) compose traffic
+    # eats the two saved blur passes (BENCH_NOTES.md round 2).  The explicit
+    # once-per-solve blur stays.
     img = gaussian_blur(inp.astype(dtype), gauss_size)
 
     H, W = tmpl.shape

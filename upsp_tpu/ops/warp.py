@@ -69,9 +69,13 @@ def _resample_cols_banded(img: jax.Array, pos: jax.Array, band: int) -> jax.Arra
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("order", "band"))
+@functools.partial(jax.jit, static_argnames=("order", "band", "pre_blur"))
 def warp_affine_mxu(
-    img: jax.Array, warp: jax.Array, order: int = 2, band: int | None = None
+    img: jax.Array,
+    warp: jax.Array,
+    order: int = 2,
+    band: int | None = None,
+    pre_blur: int | None = None,
 ) -> jax.Array:
     """out(y, x) = img(W @ [x, y, 1]) via separable matmuls + shear Taylor.
 
@@ -82,10 +86,22 @@ def warp_affine_mxu(
     stays within band-1 px.  Measured SLOWER than the MXU path on this
     backend despite the 250x FLOP cut (the MXU wins even at 0.1% density);
     serves as the precision oracle and a fallback for matmul-free builds.
+    ``pre_blur``: Gaussian ksize composed INTO the tent matrices, computing
+    ``warp(gaussian_blur(img, pre_blur))`` without ever materializing the
+    blurred image: warp∘blur = (R @ By) @ img @ (C @ Bx)^T by associativity
+    (both are linear), trading two full HBM passes per frame for two small
+    MXU matmuls per warp (~0.02 ms at 1 MP).  Exact for the separable part;
+    the shear-Taylor derivatives are taken from the blurred+warped image,
+    matching blur-then-warp to the same Taylor order.  Dense path only.
     """
     H, W = img.shape
     dtype = jnp.float32
     img = img.astype(dtype)
+    if pre_blur is not None and band is not None:
+        from upsp_tpu.ops.image import gaussian_blur
+
+        img = gaussian_blur(img, pre_blur)
+        pre_blur = None
     a00, a01, tx = warp[0, 0], warp[0, 1], warp[0, 2]
     a10, a11, ty = warp[1, 0], warp[1, 1], warp[1, 2]
 
@@ -104,6 +120,11 @@ def warp_affine_mxu(
     else:
         R = _tent_matrix(H, H, y_sep)
         C = _tent_matrix(W, W, x_sep)
+        if pre_blur is not None:
+            from upsp_tpu.ops.image import gaussian_blur_matrix_1d
+
+            R = R @ jnp.asarray(gaussian_blur_matrix_1d(H, pre_blur))
+            C = C @ jnp.asarray(gaussian_blur_matrix_1d(W, pre_blur))
         # Precision note (measured against the exact banded path at 2 MP):
         # the TPU's default bf16 matmul rounds both the tent weights and the
         # image to 8 mantissa bits, leaving ~|I| * 2^-8 ~ 10-24 counts of
