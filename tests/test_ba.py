@@ -89,6 +89,44 @@ class TestBundleAdjust:
         for c, p in enumerate(cams):
             assert np.linalg.norm(tvecs[c] - np.array(p.tvec)) < 0.02
 
+    def test_mesh_sharded_matches_single_device(self, rng):
+        """Observations sharded over the 8-device mesh + psum block assembly
+        reproduce the single-device solve — the distributed-BA north star
+        (SURVEY.md section 2.3 closing note) executed, not just plumbed."""
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from upsp_tpu.camera.ba import BAResult
+
+        cams, pts, obs = make_rig(rng, n_cams=3, n_pts=40)  # O=120 = 8*15
+        perturbed = [
+            p._replace(tvec=p.tvec + jnp.asarray([0.03, -0.02, 0.05]))
+            for p in cams
+        ]
+        prob = build_problem(perturbed, pts, obs, prior_sigma=0.005)
+        oracle = bundle_adjust(prob, n_iters=15)
+
+        mesh = Mesh(np.array(jax.devices()), ("obs",))
+        obs_spec = BAProblem(
+            poses=P(), points=P(), points0=P(), intrinsics=P(),
+            cam_idx=P("obs"), pt_idx=P("obs"), uv=P("obs"), weight=P("obs"),
+            prior_sigma=P(),
+        )
+        fn = jax.shard_map(
+            lambda pr: bundle_adjust(pr, n_iters=15, axis_name="obs"),
+            mesh=mesh,
+            in_specs=(obs_spec,),
+            out_specs=BAResult(poses=P(), points=P(), rms=P(), n_iters=P()),
+            check_vma=False,
+        )
+        res = fn(prob)
+        np.testing.assert_allclose(
+            np.array(res.poses), np.array(oracle.poses), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.array(res.points), np.array(oracle.points), atol=1e-8
+        )
+        assert float(res.rms) == pytest.approx(float(oracle.rms), abs=1e-9)
+
     def test_masked_observations_ignored(self, rng):
         cams, pts, obs = make_rig(rng, n_cams=2, n_pts=20)
         prob = build_problem(cams, pts, obs, prior_sigma=0.005)

@@ -495,9 +495,16 @@ class TestCameraSettings:
 
         from upsp_tpu.io.video import video_reader
 
-        mraws = sorted(glob.glob(str(ref_data / "**/*.mraw"), recursive=True))
-        if not mraws:
-            pytest.skip("no mraw fixture")
+        # the mraw fixture lives under cpp/test/mraw, not test/data
+        # (same path tests/test_video.py uses) — search both, fail loudly
+        # if neither exists so this can't silently skip again
+        roots = [ref_data, ref_data.parent.parent / "cpp" / "test" / "mraw"]
+        mraws = sorted(
+            m
+            for root in roots
+            for m in glob.glob(str(root / "**/*.mraw"), recursive=True)
+        )
+        assert mraws, f"no .mraw fixture found under {roots}"
         r = video_reader(mraws[0])
         r.open()
         try:

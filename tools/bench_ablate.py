@@ -68,15 +68,17 @@ def main():
         results[name] = t
         print(f"{name:40s} {t*1e3:7.1f} ms  {F/t:8.1f} fps", flush=True)
 
-    # registration off entirely (patch+filter+project remainder)
+    # registration off entirely (patch+filter+project remainder) — same
+    # frame_batch as the ECC variants so the derived differences compare
+    # like-for-like batching regimes (frame_batch sweeps show ~15% fps shift)
     import dataclasses
     cfg2 = dataclasses.replace(state.config, registration="none")
-    state2 = state._replace(config=cfg2) if hasattr(state, "_replace") else None
-    if state2 is None:
-        object.__setattr__(state, "config", cfg2)
-        state2 = state
+    state2 = dataclasses.replace(state, config=cfg2)
     t = time_fn(
-        make_chunk_processor(state2, warm_start=False, frame_batch=1), fr_dev
+        make_chunk_processor(
+            state2, warm_start=False, frame_batch=args.frame_batch
+        ),
+        fr_dev,
     )
     results["no registration"] = t
     print(f"{'no registration (patch+filter+proj)':40s} {t*1e3:7.1f} ms  {F/t:8.1f} fps",

@@ -75,18 +75,25 @@ def main():
         chain(jax.vmap(lambda x: apply_filter(x, "gaussian", 3))), img))
     report("gaussian_blur 5 (ECC pre-blur)", timed(
         chain(jax.vmap(lambda x: gaussian_blur(x, 5))), img))
+    # NOTE on probe hygiene: each chained iteration must (a) depend on data
+    # that changes across iterations (or XLA CSE collapses K applications to
+    # one) and (b) keep the measured op's output in the dataflow through a
+    # NONZERO multiplier (a literal *0.0 is foldable at XLA's discretion).
+    # The 1e-30 feedback term changes x each iteration by an amount far below
+    # measurement noise while defeating both CSE and DCE.
     report("warp_validity_mask", timed(
         chain(lambda x: x + jax.vmap(
-            lambda w: warp_validity_mask((H, W), w))(warp)), img))
+            lambda w, v: warp_validity_mask((H, W), w + v * 1e-30),
+        )(warp, x[:, :2, :3])), img))
     report("projection gather (20k nodes)", timed(
-        chain(lambda x: x + (x.reshape(B, -1)[:, idx] * wt).sum() * 0.0), img))
+        chain(lambda x: x + (x.reshape(B, -1)[:, idx] * wt).sum() * 1e-30), img))
 
     dec = default_decimate(H, W)
     tm = prepare_template(img[0], dec)
 
     def fft_op(x):
         tv = jax.vmap(lambda f: correlate(tm, f))(x)
-        return x + tv.sum() * 0.0
+        return x + tv.sum() * 1e-30
 
     report("fft phase-correlation init", timed(chain(fft_op), img))
 
@@ -98,7 +105,7 @@ def main():
             lambda rf, ip: ecc_affine(rf, ip, max_iters=1, unroll=True,
                                       return_iters=True)
         )(img, x)
-        return x + r[:, None, None] * 0.0
+        return x + r[:, None, None] * 1e-30
 
     report("ecc 1 GN step (incl blur+stats)", timed(chain(ecc_op), img))
 

@@ -98,14 +98,20 @@ def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
 def gaussian_blur_matrix_1d(n: int, ksize: int, sigma: float = 0.0) -> np.ndarray:
     """(n, n) matrix form of the 1-D Gaussian blur with reflect-101 borders.
 
-    Row i holds the kernel taps at reflected source indices, so
-    ``B @ x == gaussian_blur_1d(x)`` exactly.  Used to pre-compose the ECC
-    blur into the separable-warp tent matrices (ops/warp.py): the blur then
-    costs one extra small MXU matmul per warp instead of two full HBM passes
-    per frame.
+    Row i holds the kernel taps at reflected source indices, so applying
+    ``B @ x`` along an axis equals :func:`gaussian_blur` along that axis
+    exactly.  Used to pre-compose the ECC blur into the separable-warp tent
+    matrices (ops/warp.py): the blur then costs one extra small MXU matmul
+    per warp instead of two full HBM passes per frame.
     """
     k = gaussian_kernel_1d(ksize, sigma)
     r = ksize // 2
+    if r >= n:
+        raise ValueError(
+            f"gaussian_blur_matrix_1d: kernel radius {r} (ksize={ksize}) "
+            f"requires axis length > {r}, got {n} — the single reflect-101 "
+            "fold only covers offsets within one image span"
+        )
     B = np.zeros((n, n), np.float32)
     for t in range(ksize):
         off = t - r

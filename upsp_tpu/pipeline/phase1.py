@@ -240,6 +240,30 @@ def _make_unpacker(packed_bits: int, lut, use_pallas: Optional[bool], image_hw):
     return unpack_chunk
 
 
+def _batched_map(one, frames, frame_batch: int):
+    """``lax.map(vmap(one))`` over frame batches (pad-and-trim on the tail).
+
+    B frames per loop step: elementwise passes and reductions amortize across
+    the batch (big dispatch-floor win on small images, better pipelining at
+    1 MP+).  Requires ``one`` to be vmappable — no data-dependent control
+    flow (fixed-iteration ECC or no registration).
+    """
+    if frame_batch <= 1:
+        return jax.lax.map(one, frames)
+    n_f = frames.shape[0]
+    pad = (-n_f) % frame_batch
+    fr = (
+        jnp.concatenate([frames, jnp.repeat(frames[-1:], pad, axis=0)])
+        if pad
+        else frames
+    )
+    batched = fr.reshape((-1, frame_batch) + frames.shape[1:])
+    outs = jax.lax.map(jax.vmap(one), batched)
+    return jax.tree.map(
+        lambda a: a.reshape((-1,) + a.shape[2:])[:n_f], outs
+    )
+
+
 def make_chunk_processor(
     state,
     mesh=None,
@@ -275,9 +299,11 @@ def make_chunk_processor(
     - ``packed``: input is (F, C, B) uint8 packed camera bytes, unpacked on
       device before the frame program (ops/pallas_unpack.py).
     - ``with_telemetry``: returns (intensity, (F, C, 4) registration records).
-    - ``frame_batch`` (fft mode only): vmap this many frames per loop step —
-      uses fixed, unrolled Gauss-Newton steps (optional ``ecc_coarse_iters``
-      on a 2x decimated pair first, then ``ecc_iters`` at full resolution).
+    - ``frame_batch``: vmap this many frames per loop step (fft mode, and
+      any mode without a while_loop ECC solve, e.g. registration "none") —
+      fft mode uses fixed, unrolled Gauss-Newton steps (optional
+      ``ecc_coarse_iters`` on a 2x decimated pair first, then ``ecc_iters``
+      at full resolution).
       The default 2 full-res steps reach the while_loop fixed point from a
       phase-correlation init — GN converges quadratically from the sub-pixel
       start, verified in tests/test_fftreg.py::TestFixedIterECC.
@@ -358,35 +384,18 @@ def make_chunk_processor(
                 )
                 return sol, tele
 
-            if frame_batch > 1:
-                # map(vmap(B)): B frames per loop step — fixed-iteration ECC
-                # has no data-dependent control flow, so the full frame
-                # program batches; elementwise passes and reductions amortize
-                # across the batch (big dispatch-floor win on small images,
-                # better pipelining at 1 MP+)
-                n_f = frames.shape[0]
-                pad = (-n_f) % frame_batch
-                fr = (
-                    jnp.concatenate(
-                        [frames, jnp.repeat(frames[-1:], pad, axis=0)]
-                    )
-                    if pad
-                    else frames
-                )
-                batched = fr.reshape(
-                    (-1, frame_batch) + frames.shape[1:]
-                )
-                sols, teles = jax.lax.map(jax.vmap(one), batched)
-                sols = sols.reshape((-1,) + sols.shape[2:])[:n_f]
-                teles = teles.reshape((-1,) + teles.shape[2:])[:n_f]
-            else:
-                sols, teles = jax.lax.map(one, frames)
+            sols, teles = _batched_map(one, frames, frame_batch)
         else:
             def one(frame):
                 sol, _, tele = _process_frame_core(frame, p, **static)
                 return sol, tele
 
-            sols, teles = jax.lax.map(one, frames)
+            # without a while_loop ECC solve the frame program has no
+            # data-dependent control flow, so it batches like fft mode
+            batchable = static["registration"] != "pixel"
+            sols, teles = _batched_map(
+                one, frames, frame_batch if batchable else 1
+            )
         return sols, teles
 
     if mesh is not None and mesh.devices.size > 1:
