@@ -128,6 +128,78 @@ _DRIVER_WORKER = textwrap.dedent(
 )
 
 
+def _write_datapoint(tmp_path, F=24, H=64, W=96):
+    """Synthesize a complete on-disk datapoint: .mraw/.cih video + grid +
+    camera cal + wtd + paint cal + input deck.  Returns the deck path."""
+    import json
+
+    import numpy as np
+
+    from upsp_tpu.io.plot3d import write_p3d_grid
+    from upsp_tpu.io.video.util import pack_12bpp
+    from upsp_tpu.pipeline.synthetic import make_plate_grid
+
+    rng = np.random.default_rng(3)
+    shifts = np.cumsum(rng.normal(0, 0.2, size=(F, 2)), axis=0)
+    shifts[0] = 0
+    yy, xx = np.mgrid[0:H, 0:W]
+    with open(tmp_path / "synth.mraw", "wb") as fh:
+        for f in range(F):
+            dx, dy = shifts[f]
+            img = (
+                2000.0 + 5.0 * (xx - dx) + 3.0 * (yy - dy)
+                + 300 * np.exp(-(((xx - dx - 40) ** 2 + (yy - dy - 30) ** 2) / 120))
+                + 200 * np.exp(-(((xx - dx - 70) ** 2 + (yy - dy - 20) ** 2) / 80))
+            ) * (1 + 0.01 * np.sin(2 * np.pi * f / 7))
+            fh.write(
+                pack_12bpp(np.clip(img, 0, 4095).astype(np.uint16)).tobytes()
+            )
+    (tmp_path / "synth.cih").write_text(
+        f"Total Frame : {F}\nImage Width : {W}\nImage Height : {H}\n"
+        "Color Bit : 12\nRecord Rate(fps) : 10000\n"
+        "Shutter Speed(s) : 1/20000\nFile Format : MRaw\n"
+    )
+    write_p3d_grid(str(tmp_path / "plate.grid"), make_plate_grid(21, 17))
+    with open(tmp_path / "cam.json", "w") as fh:
+        json.dump(
+            {
+                "uPSP_cameraMatrix": [[200.0, 0, 0], [0, 200.0, 0], [0, 0, 1]],
+                "distCoeffs": [[0, 0, 0, 0, 0]],
+                "rmat": [[1, 0, 0], [0, -1, 0], [0, 0, -1]],
+                "tvec": [-5.0, 4.0, 20.0],
+            },
+            fh,
+        )
+    (tmp_path / "t.wtd").write_text(
+        "RUN 1 1\n#\tMACH\tALPHA\tBETA\tPHI\tQ\tPS\tTTF\tSTRUTZ\n"
+        "0.80\t0.00\t0.00\t0.00\t144.00\t500.00\t80.00\t0.00\n"
+    )
+    (tmp_path / "paint.cal").write_text(
+        "a = 1.0\nb = 0.0\nc = 0\nd = 0\ne = 0\nf = 0\n"
+    )
+    for out in ("out_dist", "out_oracle"):
+        (tmp_path / f"deck_{out}.inp").write_text(
+            "\n".join(
+                [
+                    "@general", "  test = dist", "  run = 1", "  sequence = 1",
+                    "@all",
+                    f"  grid = {tmp_path}/plate.grid",
+                    f"  sds = {tmp_path}/t.wtd",
+                    f"  paint_calibration = {tmp_path}/paint.cal",
+                    "@camera", "  number = 1",
+                    f"  video = {tmp_path}/synth.mraw",
+                    f"  calibration = {tmp_path}/cam.json",
+                    "@options", "  registration = pixel",
+                    "  target_patcher = none",
+                    "  filter = gaussian", "  filter_size = 3",
+                    "@output", f"  dir = {tmp_path}/{out}", "  name = dist",
+                    "",
+                ]
+            )
+        )
+    return tmp_path
+
+
 def test_two_process_distributed(tmp_path):
     sock = socket.socket()
     sock.bind(("127.0.0.1", 0))
@@ -247,3 +319,187 @@ def test_two_process_production_driver(tmp_path):
     oracle = np.load(oracle_path)
     dist = np.load(tmp_path / "intensity.npy")
     np.testing.assert_allclose(dist, oracle, rtol=1e-6, atol=1e-4)
+
+
+def test_two_process_production_cli(tmp_path):
+    """`upsp-process --distributed` end to end from VIDEO FILES with outputs
+    written: two processes (4 virtual devices each) over a shared global
+    mesh, each decoding only its half of every chunk, rank 0 writing the
+    files — byte-compared against the single-process `--mesh auto` oracle.
+
+    This is the production multi-host path the reference gets from
+    `mpiexec psp_process` (per-rank read-ahead psp_process.cpp:867-908,
+    rank-0 writes :1930-2016)."""
+    import re
+
+    import numpy as np
+
+    _write_datapoint(tmp_path)
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+
+    script = os.path.join(REPO, "scripts", "upsp-process")
+    env = dict(
+        os.environ,
+        PYTHONPATH=REPO,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+    )
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, script,
+                "-input_deck", str(tmp_path / "deck_out_dist.inp"),
+                "--distributed",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2",
+                "--process-id", str(pid),
+                "-v",
+            ],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("distributed coordinator timed out in sandbox")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        if rc != 0 and ("UNAVAILABLE" in err or "Permission" in err):
+            pytest.skip(f"sandbox blocks distributed init: {err[-200:]}")
+        assert rc == 0, err[-3000:]
+        assert "processed 24 frames" in out
+
+    # each host decoded ONLY its half of every chunk (24 frames, one chunk,
+    # 12 rows per process) — video ingest scales with hosts
+    for rc, out, err in outs:
+        m = re.search(r"decoded (\d+) frames", err)
+        assert m, err[-1500:]
+        assert int(m.group(1)) == 12, err[-1500:]
+
+    # single-process oracle over the same 8-device mesh topology
+    env_o = dict(
+        os.environ,
+        PYTHONPATH=REPO,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    r = subprocess.run(
+        [sys.executable, script,
+         "-input_deck", str(tmp_path / "deck_out_oracle.inp"), "--mesh", "auto"],
+        env=env_o, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    n_nodes = 21 * 17
+    for name, shape in (
+        ("intensity", (24, n_nodes)),
+        ("pressure_transpose", (n_nodes, 24)),
+        ("intensity_avg", (n_nodes,)),
+        ("rms", (n_nodes,)),
+        ("gain", (n_nodes,)),
+        ("coverage", (n_nodes,)),
+    ):
+        a = np.fromfile(tmp_path / "out_dist" / name, "<f4").reshape(shape)
+        b = np.fromfile(tmp_path / "out_oracle" / name, "<f4").reshape(shape)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-5, atol=1e-4, equal_nan=True, err_msg=name
+        )
+    # HDF5 written exactly once (rank 0)
+    assert (tmp_path / "out_dist" / "dist.h5").exists()
+
+
+def test_two_process_streaming_cli(tmp_path):
+    """`upsp-process --streaming --distributed`: the out-of-core multi-host
+    path — chunked on-device all-to-alls fold each frame chunk into per-host
+    node slices of the shared intensity_transpose file (never materializing
+    (F, N) in aggregate HBM), phase 2 writes per-rank node offsets, rank 0
+    assembles the HDF5 from the finished flat file.  Byte-compared against
+    the single-process streaming oracle.  Reference pattern:
+    psp_process.cpp:707-771 + upsp_matrix_transpose.cpp."""
+    import numpy as np
+
+    _write_datapoint(tmp_path)
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+
+    script = os.path.join(REPO, "scripts", "upsp-process")
+    env = dict(
+        os.environ,
+        PYTHONPATH=REPO,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+    )
+    # --frames-per-chunk 8: 24 frames -> 3 chunks, so the chunked transpose
+    # accumulation is exercised across multiple all-to-alls
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, script,
+                "-input_deck", str(tmp_path / "deck_out_dist.inp"),
+                "--streaming", "--frames-per-chunk", "8",
+                "--distributed",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2",
+                "--process-id", str(pid),
+                "-v",
+            ],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("distributed coordinator timed out in sandbox")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        if rc != 0 and ("UNAVAILABLE" in err or "Permission" in err):
+            pytest.skip(f"sandbox blocks distributed init: {err[-200:]}")
+        assert rc == 0, err[-3000:]
+
+    env_o = dict(
+        os.environ,
+        PYTHONPATH=REPO,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    r = subprocess.run(
+        [sys.executable, script,
+         "-input_deck", str(tmp_path / "deck_out_oracle.inp"),
+         "--streaming", "--frames-per-chunk", "8", "--mesh", "auto"],
+        env=env_o, capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    n_nodes = 21 * 17
+    for name, shape in (
+        ("intensity", (24, n_nodes)),
+        ("intensity_transpose", (n_nodes, 24)),
+        ("pressure_transpose", (n_nodes, 24)),
+        ("intensity_avg", (n_nodes,)),
+        ("rms", (n_nodes,)),
+        ("avg", (n_nodes,)),
+        ("gain", (n_nodes,)),
+    ):
+        a = np.fromfile(tmp_path / "out_dist" / name, "<f4").reshape(shape)
+        b = np.fromfile(tmp_path / "out_oracle" / name, "<f4").reshape(shape)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-5, atol=1e-4, equal_nan=True, err_msg=name
+        )
+    assert (tmp_path / "out_dist" / "dist.h5").exists()

@@ -2,7 +2,11 @@
 
 import os
 
-from upsp_tpu.io.video.base import FramePrefetcher, VideoReader  # noqa: F401
+from upsp_tpu.io.video.base import (  # noqa: F401
+    FramePrefetcher,
+    IntervalPrefetcher,
+    VideoReader,
+)
 from upsp_tpu.io.video.cine import CineReader  # noqa: F401
 from upsp_tpu.io.video.mraw import MrawReader  # noqa: F401
 from upsp_tpu.io.video.util import (  # noqa: F401

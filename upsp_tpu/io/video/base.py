@@ -25,6 +25,9 @@ class VideoReader(abc.ABC):
     def __init__(self, path):
         self.path = path
         self.fd = None
+        # decode accounting: lets the driver assert per-host ingest really
+        # scales (each process of a multi-host run decodes only its slice)
+        self.frames_decoded = 0
 
     def open(self):
         self.fd = open(self.path, "rb")
@@ -89,6 +92,7 @@ class VideoReader(abc.ABC):
             raise ValueError(f"expected shape {shape}, got {out.shape}")
         for i in range(nframes):
             out[i] = self.read_frame(start + i)
+        self.frames_decoded += nframes
         return out
 
     def iter_chunks(
@@ -138,6 +142,64 @@ class VideoReader(abc.ABC):
         for s in range(start, start + nframes, frames_per_chunk):
             n = min(frames_per_chunk, start + nframes - s)
             yield self.read_packed_frames(n, start=s)
+
+
+class IntervalPrefetcher:
+    """Background-thread decoder over an explicit list of (start, count)
+    frame intervals, one yielded array per interval.
+
+    Multi-process ingest reads per-chunk host slices — contiguous within a
+    chunk but strided across the video — so the single-range
+    :class:`FramePrefetcher` doesn't fit; this generalizes the same
+    producer/consumer overlap (the reference's per-rank read-ahead,
+    psp_process.cpp:867-908) to any interval plan.  Zero-count intervals
+    yield an empty array without touching the reader.
+    """
+
+    def __init__(
+        self,
+        reader: VideoReader,
+        intervals,  # sequence of (start, count)
+        max_queued_chunks: int = 4,
+        packed: bool = False,
+    ):
+        self.reader = reader
+        self.intervals = list(intervals)
+        self.packed = packed
+        self._q: queue.Queue = queue.Queue(maxsize=max_queued_chunks)
+        self._error: Optional[BaseException] = None
+
+    def _empty(self) -> np.ndarray:
+        r = self.reader
+        if self.packed:
+            return np.empty((0, r.packed_frame_nbytes), np.uint8)
+        return np.empty((0, r.height, r.width), r.dtype)
+
+    def _produce(self):
+        try:
+            for start, count in self.intervals:
+                if count <= 0:
+                    self._q.put(self._empty())
+                elif self.packed:
+                    self._q.put(self.reader.read_packed_frames(count, start))
+                else:
+                    self._q.put(self.reader.read_frames(count, start).copy())
+        except BaseException as e:  # surfaced on the consumer side
+            self._error = e
+        finally:
+            self._q.put(None)
+
+    def __iter__(self):
+        thread = threading.Thread(target=self._produce, daemon=True)
+        thread.start()
+        while True:
+            chunk = self._q.get()
+            if chunk is None:
+                break
+            yield chunk
+        if self._error is not None:
+            raise self._error
+        thread.join()
 
 
 class FramePrefetcher:

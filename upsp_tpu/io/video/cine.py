@@ -145,6 +145,7 @@ class CineReader(VideoReader):
             self.fd.seek(annot_size - 8, 1)
             self.fd.seek(4, 1)  # img_size field
             out[i] = np.frombuffer(self.fd.read(bpf), np.uint8)
+        self.frames_decoded += nframes
         return out
 
     def read_frame(self, idx: int) -> np.ndarray:

@@ -103,6 +103,7 @@ class MrawReader(VideoReader):
         bpf = self.packed_frame_nbytes
         self.fd.seek(start * bpf)
         buf = self.fd.read(nframes * bpf)
+        self.frames_decoded += nframes
         return np.frombuffer(buf, np.uint8).reshape(nframes, bpf)
 
     def read_frame(self, idx: int) -> np.ndarray:

@@ -212,7 +212,11 @@ class AsyncWriter:
         if _LIB is not None:
             self._handle = _LIB.upsp_awrite_open(path.encode())
         if self._handle is None:
-            self._fallback = open(path, "wb")
+            # O_CREAT without O_TRUNC (like the native path): multi-process
+            # runs write disjoint offset ranges of the SAME file — a "wb"
+            # open would truncate the other ranks' completed writes
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT, 0o644)
+            self._fallback = os.fdopen(fd, "wb")
 
     def submit(self, offset_bytes: int, data: np.ndarray) -> None:
         buf = np.ascontiguousarray(data)

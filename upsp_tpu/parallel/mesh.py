@@ -118,6 +118,33 @@ def fetch_global(a) -> "np.ndarray":
         return np.asarray(multihost_utils.process_allgather(a, tiled=True))
 
 
+def local_block(a) -> tuple:
+    """This process's contiguous axis-0 block of a row-sharded global array.
+
+    Returns ``(row_start, np.ndarray)``.  With a process-major 1-D mesh
+    (jax.devices() order) every process's addressable shards form one
+    contiguous row range — the multi-host equivalent of "this rank's slice"
+    (reference apportion, psp_process.cpp:611-624).
+    """
+    shards = sorted(
+        a.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    start = shards[0].index[0].start or 0
+    pos = start
+    parts = []
+    for s in shards:
+        s0 = s.index[0].start or 0
+        if s0 != pos:
+            raise ValueError(
+                "local shards are not contiguous along axis 0; "
+                "use a process-major mesh"
+            )
+        d = np.asarray(s.data)
+        parts.append(d)
+        pos += d.shape[0]
+    return start, np.concatenate(parts, axis=0)
+
+
 def apportion(total: int, ranks: int) -> list:
     """Contiguous block sizes per rank (reference apportion, psp_process.cpp:611).
 

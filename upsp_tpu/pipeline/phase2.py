@@ -213,11 +213,19 @@ def run_phase2_sharded(
     steady = load_steady_cp(cfg, N, model)
     mtemp = compute_model_temperature(cfg, cond, N, model)
 
-    intensity_dev = jax.device_put(ipad, f_sh)
-    avg_dev = jax.device_put(pad_nodes(sol_avg), n_sh)
-    cov_dev = jax.device_put(pad_nodes(coverage), n_sh)
-    steady_dev = jax.device_put(pad_nodes(steady), n_sh)
-    mtemp_dev = jax.device_put(pad_nodes(mtemp), n_sh)
+    # make_array_from_callback, not device_put: every process holds the same
+    # full host copy, but multi-process device_put rejects it because its
+    # consistency check compares with == and NaN != NaN (skipped nodes are
+    # NaN by design)
+    def put(a, sh):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+    intensity_dev = put(ipad, f_sh)
+    avg_dev = put(pad_nodes(sol_avg), n_sh)
+    cov_dev = put(pad_nodes(coverage), n_sh)
+    steady_dev = put(pad_nodes(steady), n_sh)
+    mtemp_dev = put(pad_nodes(mtemp), n_sh)
 
     @jax.jit
     def convert(i_fs, avg, cov, st, mt):

@@ -15,6 +15,12 @@ its own contiguous frame block in parallel (the reference's per-rank
 apportioning, psp_process.cpp:1520-1523) — and phase 2 reshards frames->nodes
 on device via one XLA all-to-all (the reference's global_transpose,
 psp_process.cpp:707-771) before the node-sharded conversion.
+
+Multi-HOST execution (``upsp-process --distributed``): the same driver runs
+SPMD on every process over a global mesh.  Each host background-decodes only
+its own slice of every video chunk (_host_batch_iter — the reference's
+per-rank read-ahead, psp_process.cpp:867-908), collectives span processes,
+and all file output is rank-0 gated (psp_process.cpp:1930-2016).
 """
 
 from __future__ import annotations
@@ -188,6 +194,94 @@ def _pad_chunk(chunk: np.ndarray, n_dev: int):
     return chunk, valid
 
 
+def _dist_info(mesh):
+    """(process_id, process_count) when `mesh` spans multiple processes."""
+    if mesh is None:
+        return 0, 1
+    try:
+        pid, pcount = jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+    if pcount <= 1:
+        return 0, 1
+    procs = {d.process_index for d in mesh.devices.flat}
+    return (pid, pcount) if len(procs) > 1 else (0, 1)
+
+
+def _is_rank0(mesh) -> bool:
+    return _dist_info(mesh)[0] == 0
+
+
+def _host_batch_iter(
+    readers, n_frames, start0, frames_per_chunk, packed, mesh, pid, pcount
+):
+    """Multi-process ingest: yield (start, valid, global sharded batch).
+
+    Each process background-decodes only ITS contiguous block of every
+    padded chunk (the reference's per-rank read-ahead slice,
+    psp_process.cpp:867-908), then contributes it as the process-local data
+    of a globally frame-sharded jax.Array — video ingest bandwidth scales
+    with hosts.  Rows beyond each host's valid slice are padding whose
+    outputs the caller trims.
+    """
+    from upsp_tpu.io.video import IntervalPrefetcher
+    from upsp_tpu.parallel.launcher import chunk_plan
+    from upsp_tpu.parallel.mesh import frame_sharding
+
+    n_dev = int(mesh.devices.size)
+    plan = chunk_plan(n_frames, frames_per_chunk, n_dev, pid, pcount)
+    prefetchers = [
+        iter(
+            IntervalPrefetcher(
+                r,
+                [(start0 + c.local_start, c.local_valid) for c in plan],
+                packed=packed,
+            )
+        )
+        for r in readers
+    ]
+    sharding = frame_sharding(mesh)
+    for c in plan:
+        per_cam = [next(p) for p in prefetchers]
+        local = np.stack(per_cam, axis=1)  # (local_valid, C, ...)
+        if local.shape[0] < c.local_rows:
+            pad_shape = (c.local_rows - local.shape[0],) + local.shape[1:]
+            fill = (
+                np.repeat(local[-1:], pad_shape[0], axis=0)
+                if local.shape[0]
+                else np.zeros(pad_shape, local.dtype)
+            )
+            local = np.concatenate([local, fill], axis=0)
+        batch = jax.make_array_from_process_local_data(sharding, local)
+        yield c.start, c.valid, batch
+
+
+def _batch_iter(
+    frames_array, readers, n_frames, start0, frames_per_chunk, packed, mesh
+):
+    """Unified chunk feed: yields (start, valid, device batch) for every
+    ingest mode — in-memory array, single-process files, multi-process
+    per-host file slices."""
+    pid, pcount = _dist_info(mesh)
+    if pcount > 1 and frames_array is None:
+        yield from _host_batch_iter(
+            readers, n_frames, start0, frames_per_chunk, packed, mesh,
+            pid, pcount,
+        )
+        return
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    from upsp_tpu.parallel.mesh import frame_sharding
+
+    for start, chunk in _chunk_iter(
+        frames_array, readers, n_frames, start0, frames_per_chunk, packed
+    ):
+        chunk, valid = _pad_chunk(np.asarray(chunk), n_dev)
+        batch = jnp.asarray(chunk)
+        if mesh is not None:
+            batch = jax.device_put(batch, frame_sharding(mesh))
+        yield start, valid, batch
+
+
 def run_datapoint(
     cfg: ProcessingConfig,
     checkout: bool = False,
@@ -244,7 +338,9 @@ def run_datapoint(
     # reference routes "additional debugging files" to -add_out_dir,
     # defaulting to the deck's output directory (psp_process.cpp:1261)
     diag_dir = cfg.add_out_dir or cfg.out_dir
-    if write_outputs and diag_dir:
+    # multi-process: only rank 0 writes files (the reference gates every
+    # non-offset write on rank 0, psp_process.cpp:1930-2016)
+    if write_outputs and diag_dir and _is_rank0(mesh):
         try:
             from upsp_tpu.pipeline.diagnostics import write_phase0_diagnostics
 
@@ -303,16 +399,10 @@ def run_datapoint(
         else None
     )
 
-    n_dev = 1 if mesh is None else int(mesh.devices.size)
-    from upsp_tpu.parallel.mesh import frame_sharding
-
-    for start, chunk in _chunk_iter(
-        frames_array, readers, n_frames, start0, frames_per_chunk, use_packed
+    for start, valid, batch in _batch_iter(
+        frames_array, readers, n_frames, start0, frames_per_chunk,
+        use_packed, mesh,
     ):
-        chunk, valid = _pad_chunk(np.asarray(chunk), n_dev)
-        batch = jnp.asarray(chunk)
-        if mesh is not None:
-            batch = jax.device_put(batch, frame_sharding(mesh))
         out = fn(batch)
         if registration_telemetry:
             out, tele = out
@@ -322,6 +412,11 @@ def run_datapoint(
             log.info("phase1: processed frame %d / %d", start, n_frames)
 
     if readers:
+        pid, pcount = _dist_info(mesh)
+        log.info(
+            "phase1: host %d/%d decoded %d frames across %d cameras",
+            pid, pcount, sum(r.frames_decoded for r in readers), len(readers),
+        )
         for r in readers:
             r.close()
 
@@ -333,7 +428,7 @@ def run_datapoint(
             rho.min(), rho.mean(), iters.mean(), int(iters.max()),
             np.abs(reg_telemetry[..., 2:]).max(),
         )
-        if cfg.out_dir:
+        if cfg.out_dir and _is_rank0(mesh):
             os.makedirs(cfg.out_dir, exist_ok=True)
             FlatFileSet(cfg.out_dir).write("registration", reg_telemetry)
 
@@ -368,6 +463,18 @@ def run_datapoint_streaming(
     (write_frames_block at a node offset; same layout as the in-memory path).
     ``mesh``/``warm_start``: as in :func:`run_datapoint` (phase 1 shards the
     frame axis; phase 2 here is the disk-blocked path, node blocks in order).
+
+    MULTI-PROCESS (mesh spanning hosts): the frames->nodes transpose runs as
+    chunked on-device all-to-alls — each frame chunk reshards to node-major
+    on the mesh and every host accumulates its node slice's columns into its
+    disjoint region of the shared ``intensity_transpose`` file through a
+    page-cache-backed memmap, so the full (F, N) matrix NEVER resides in
+    aggregate HBM (the reference's out-of-core global_transpose,
+    psp_process.cpp:707-771 + upsp_matrix_transpose.cpp:16-100).  Each host
+    then converts and writes only its node slice (per-rank offset writes,
+    write_block parity psp_process.cpp:958-1007); rank 0 assembles the HDF5
+    from the finished ``pressure_transpose`` flat file (the reference's
+    add_field pattern).
     """
     from upsp_tpu import native
     from upsp_tpu.io.flatfile import FlatFileSet, read_flat
@@ -409,8 +516,13 @@ def run_datapoint_streaming(
         packed=use_packed, **packed_kw
     )
     ffs = FlatFileSet(cfg.out_dir)
-    n_dev = 1 if mesh is None else int(mesh.devices.size)
-    from upsp_tpu.parallel.mesh import frame_sharding
+    pid, pcount = _dist_info(mesh)
+    if pcount > 1:
+        return _streaming_multiprocess(
+            cfg, state, camset, readers, frames_array, n_frames, start0,
+            frames_per_chunk, node_block, use_packed, write_hdf5, mesh, fn,
+            ffs, pid, pcount,
+        )
 
     sum_i = np.zeros(n_nodes, np.float64)
     sumsq_i = np.zeros(n_nodes, np.float64)
@@ -418,13 +530,10 @@ def run_datapoint_streaming(
 
     writer = native.AsyncWriter(ffs.path("intensity"))
     try:
-        for start, chunk in _chunk_iter(
-            frames_array, readers, n_frames, start0, frames_per_chunk, use_packed
+        for start, valid, batch in _batch_iter(
+            frames_array, readers, n_frames, start0, frames_per_chunk,
+            use_packed, mesh,
         ):
-            chunk, valid = _pad_chunk(np.asarray(chunk), n_dev)
-            batch = jnp.asarray(chunk)
-            if mesh is not None:
-                batch = jax.device_put(batch, frame_sharding(mesh))
             out = fetch_global(fn(batch))[:valid]
             writer.submit(start * n_nodes * 4, out.astype("<f4"))
             with np.errstate(invalid="ignore"):
@@ -556,6 +665,243 @@ def run_datapoint_streaming(
     )
 
 
+def _ensure_file_size(path: str, nbytes: int) -> None:
+    """Create/extend a file to exactly `nbytes` (shared multi-writer target)."""
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT, 0o644)
+    try:
+        if os.fstat(fd).st_size != nbytes:
+            os.ftruncate(fd, nbytes)
+    finally:
+        os.close(fd)
+
+
+def _streaming_multiprocess(
+    cfg, state, camset, readers, frames_array, n_frames, start0,
+    frames_per_chunk, node_block, use_packed, write_hdf5, mesh, fn, ffs,
+    pid, pcount,
+) -> DatapointOutputs:
+    """Multi-host out-of-core streaming (see run_datapoint_streaming).
+
+    Chunked on-device all-to-alls replace the reference's MPI
+    global_transpose (psp_process.cpp:707-771): each frame chunk reshards to
+    node-major on the mesh, every host folds its node slice's columns into
+    its disjoint region of the shared ``intensity_transpose`` file (memmap,
+    page-cache backed — the (F, N) matrix never resides in aggregate HBM or
+    any single host's RAM), and phase 2 converts + writes per-host node
+    slices at file offsets (write_block parity, psp_process.cpp:958-1007).
+    """
+    from jax.experimental import multihost_utils
+
+    from upsp_tpu import native
+    from upsp_tpu.io.flatfile import read_flat
+    from upsp_tpu.ops.polyfit import make_detrender
+    from upsp_tpu.parallel.mesh import local_block, node_sharding
+    from upsp_tpu.pipeline.phase2 import (
+        compute_model_temperature,
+        load_steady_cp,
+        make_phase2_constants,
+        phase2_convert,
+    )
+
+    n_nodes = state.model.size
+    n_dev = int(mesh.devices.size)
+    n_pad = -(-n_nodes // n_dev) * n_dev
+    lr_n = n_pad // pcount  # node rows per host (incl. padding)
+    n0, n1 = pid * lr_n, min(pid * lr_n + lr_n, n_nodes)
+    n_local = max(n1 - n0, 0)
+    n_sh = node_sharding(mesh)
+
+    @jax.jit
+    def reshard(x):  # (Vp, N) frame-sharded -> (n_pad, Vp) node-sharded
+        xt = jnp.pad(x.T, ((0, n_pad - x.shape[1]), (0, 0)))
+        return jax.lax.with_sharding_constraint(xt, n_sh)
+
+    tpath = ffs.path("intensity_transpose")
+    _ensure_file_size(tpath, n_nodes * n_frames * 4)
+    multihost_utils.sync_global_devices("upsp-stream-alloc")
+    trans = (
+        np.memmap(
+            tpath, "<f4", mode="r+", offset=n0 * n_frames * 4,
+            shape=(n_local, n_frames),
+        )
+        if n_local
+        else None
+    )
+
+    sum_i = np.zeros(n_nodes, np.float64)
+    sumsq_i = np.zeros(n_nodes, np.float64)
+    ratio0_src = np.zeros(n_nodes, np.float32)
+
+    writer = native.AsyncWriter(ffs.path("intensity"))
+    try:
+        for start, valid, batch in _batch_iter(
+            frames_array, readers, n_frames, start0, frames_per_chunk,
+            use_packed, mesh,
+        ):
+            out = fn(batch)  # (Vp, N) frame-sharded
+            # this host's frame rows -> intensity file + stat partials
+            row0, rows = local_block(out)
+            lv = int(np.clip(valid - row0, 0, rows.shape[0]))
+            if lv > 0:
+                rows = np.asarray(rows[:lv], "<f4")
+                writer.submit((start + row0) * n_nodes * 4, rows)
+                with np.errstate(invalid="ignore"):
+                    sum_i += np.nansum(rows, axis=0, dtype=np.float64)
+                    sumsq_i += np.einsum(
+                        "fn,fn->n", rows, rows, dtype=np.float64
+                    )
+                if start == 0 and row0 == 0:
+                    ratio0_src = rows[0].copy()
+            # chunked transpose: all-to-all this chunk into node-major and
+            # fold this host's node slice into its transposed-file region
+            trow0, tloc = local_block(reshard(out))
+            assert trow0 == n0, (trow0, n0)
+            if trans is not None:
+                trans[:, start : start + valid] = tloc[:n_local, :valid]
+    finally:
+        writer.close()
+        if readers:
+            log.info(
+                "phase1: host %d/%d decoded %d frames across %d cameras",
+                pid, pcount,
+                sum(r.frames_decoded for r in readers), len(readers),
+            )
+            for r in readers:
+                r.close()
+    if trans is not None:
+        trans.flush()
+
+    # combine per-host statistic partials; ratio0 row lives on host 0
+    totals = np.asarray(
+        multihost_utils.process_allgather(
+            jnp.asarray(np.stack([sum_i, sumsq_i]))
+        )
+    ).sum(axis=0)
+    sum_i, sumsq_i = totals[0], totals[1]
+    ratio0_src = np.asarray(
+        multihost_utils.broadcast_one_to_all(jnp.asarray(ratio0_src))
+    )
+
+    nan_mask = np.isnan(ratio0_src)
+    sol_avg = np.where(nan_mask, np.nan, sum_i / n_frames).astype(np.float32)
+    sol_rms = np.where(nan_mask, np.nan, np.sqrt(sumsq_i / n_frames)).astype(
+        np.float32
+    )
+    cov = np.asarray(proj_coverage(state.projections, *state.image_hw))
+    cov = cov[state.model.superseded_by]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio0 = sol_avg / ratio0_src - 1.0
+
+    # phase 2 over THIS HOST's node slice, written at per-rank offsets
+    cond = read_wtd(cfg.sds)
+    cond.test_id, cond.run, cond.seq = cfg.test_id, cfg.run, cfg.sequence
+    pcal = PaintCalibration.read(cfg.paint_cal)
+    const = make_phase2_constants(pcal, cond)
+    det = make_detrender(n_frames, cfg.degree)
+    steady = load_steady_cp(cfg, n_nodes, state.model)
+    mtemp = compute_model_temperature(cfg, cond, n_nodes, state.model)
+
+    rms_loc = np.full(lr_n, np.nan, np.float32)
+    avg_loc = np.full(lr_n, np.nan, np.float32)
+    gain_loc = np.full(lr_n, np.nan, np.float32)
+    pwriter = native.AsyncWriter(ffs.path("pressure_transpose"))
+    try:
+        for b0 in range(n0, n1, node_block):
+            nw = min(node_block, n1 - b0)
+            block = np.asarray(trans[b0 - n0 : b0 - n0 + nw])
+            out2 = phase2_convert(
+                jnp.asarray(block),
+                jnp.asarray(sol_avg[b0 : b0 + nw]),
+                jnp.asarray(cov[b0 : b0 + nw]),
+                jnp.asarray(steady[b0 : b0 + nw]),
+                jnp.asarray(mtemp[b0 : b0 + nw]),
+                const,
+                det,
+            )
+            press = np.asarray(out2.pressure_transpose)
+            pwriter.submit(b0 * n_frames * 4, press.astype("<f4"))
+            rms_loc[b0 - n0 : b0 - n0 + nw] = np.asarray(out2.rms)
+            avg_loc[b0 - n0 : b0 - n0 + nw] = np.asarray(out2.avg)
+            gain_loc[b0 - n0 : b0 - n0 + nw] = np.asarray(out2.gain)
+    finally:
+        pwriter.close()
+
+    def gather_nodes(loc):
+        # host slices are contiguous process-major: tiled allgather IS the
+        # global node order (padding rows fall off the end)
+        g = np.asarray(
+            multihost_utils.process_allgather(jnp.asarray(loc), tiled=True)
+        )
+        return g[:n_nodes]
+
+    rms_all, avg_all, gain_all = map(gather_nodes, (rms_loc, avg_loc, gain_loc))
+    steady_out = _steady_for_output(steady)
+    # every host's pressure_transpose region must be on disk before rank 0
+    # reads it back for the HDF5 (the reference's add_field pattern)
+    multihost_utils.sync_global_devices("upsp-stream-flat")
+
+    if pid == 0:
+        if write_hdf5:
+            try:
+                from upsp_tpu.io.hdf5io import PSPWriter
+
+                name = cfg.out_name or "output"
+                with PSPWriter(
+                    cfg.h5_out or os.path.join(cfg.out_dir, f"{name}.h5"),
+                    state.model,
+                    n_frames=n_frames,
+                    transposed=True,
+                    chunk_nodes=cfg.trans_nodes or 4096,
+                ) as h5w:
+                    h5w.write_grid(cfg.grid_units)
+                    h5w.write_tunnel_conditions(cond)
+                    h5w.write_camera_settings(**camset)
+                    for b0 in range(0, n_nodes, node_block):
+                        nw = min(node_block, n_nodes - b0)
+                        press = read_flat(
+                            ffs.path("pressure_transpose"),
+                            count=nw * n_frames, offset_values=b0 * n_frames,
+                        ).reshape(nw, n_frames)
+                        h5w.write_frames_block(press, node_start=b0)
+                    h5w.write_new_dataset("rms", rms_all, "delta Cp")
+                    h5w.write_new_dataset("average", avg_all, "delta Cp")
+                    h5w.write_new_dataset("coverage", cov)
+                    h5w.write_new_dataset("steady_state", steady_out, "Cp")
+                    h5w.write_new_dataset("model_temp", mtemp, "F")
+            except ImportError:
+                log.warning("h5py unavailable; skipped HDF5 output")
+        ffs.write_standard_outputs(
+            state.model,
+            {
+                "intensity_avg": sol_avg,
+                "intensity_rms": sol_rms,
+                "intensity_ratio_0": ratio0,
+                "coverage": cov,
+            },
+            {
+                "avg": avg_all,
+                "rms": rms_all,
+                "gain": gain_all,
+                "steady_state": steady_out,
+                "model_temp": mtemp,
+            },
+        )
+
+    return DatapointOutputs(
+        state=state,
+        intensity=None,
+        intensity_avg=sol_avg,
+        intensity_rms=sol_rms,
+        coverage=cov,
+        phase2=Phase2Outputs(
+            pressure_transpose=None, rms=jnp.asarray(rms_all),
+            avg=jnp.asarray(avg_all), gain=jnp.asarray(gain_all),
+            steady_state=jnp.asarray(steady), model_temp=jnp.asarray(mtemp),
+        ),
+        n_frames=n_frames,
+    )
+
+
 def _steady_for_output(steady: np.ndarray) -> np.ndarray:
     """Steady Cp output rule: values > 3.0 write as NaN (psp_process.cpp:2567-
     2572); the gain computation keeps the raw values."""
@@ -621,7 +967,9 @@ def _finish_from_intensity(
             )
 
     # ---- outputs ------------------------------------------------------------
-    if write_outputs and cfg.out_dir:
+    # rank-0 gated: every process holds the full (allgathered) results, so
+    # one writer suffices and concurrent writes to shared paths never happen
+    if write_outputs and cfg.out_dir and _is_rank0(mesh):
         _write_outputs(
             cfg, state, intensity, sol_avg, sol_rms, ratio0, cov, phase2, camset
         )
