@@ -4,10 +4,12 @@ BENCH_NOTES derives a ~0.09-0.10 ms "per-pass" cost at 1 MP from component
 deltas, which implies ~90-110 GB/s effective — ~11-13% of v5e's ~819 GB/s.
 This tool measures the floor directly so the gap can be attributed.
 
-Methodology: each probe is a chain of K fusion-broken passes
-(`lax.optimization_barrier` between iterations — without it XLA fuses the
-whole chain into ONE kernel and the probe measures flops, not passes).  The
-per-pass cost is (t_K2 - t_K1) / (K2 - K1) — differencing two chain lengths
+Methodology: each probe is a `lax.fori_loop` whose carry is the full array —
+the loop body compiles ONCE and its carry must round-trip HBM every
+iteration, so XLA cannot fuse the chain into a single register-resident
+kernel (a plain Python-unrolled chain with `optimization_barrier` measured
+~0 us/pass here: the whole chain fused into one elementwise kernel).  The
+per-pass cost is (t_K2 - t_K1) / (K2 - K1) — differencing two loop lengths
 cancels dispatch/RTT exactly (the ~25 ms tunnel round trip otherwise buries
 passes measured in tens of microseconds).
 
@@ -35,9 +37,9 @@ def timed(fn, *args, reps=5):
     return min(ts)
 
 
-def chain_cost(make_chain, k1, k2, *args, reps=5):
-    t1 = timed(make_chain(k1), *args, reps=reps)
-    t2 = timed(make_chain(k2), *args, reps=reps)
+def loop_cost(make_loop, k1, k2, *args, reps=5):
+    t1 = timed(make_loop(k1), *args, reps=reps)
+    t2 = timed(make_loop(k2), *args, reps=reps)
     return (t2 - t1) / (k2 - k1)
 
 
@@ -66,14 +68,14 @@ def main():
         def make_copy(K):
             @jax.jit
             def f(x):
-                for _ in range(K):
-                    x = jax.lax.optimization_barrier(x * 1.000001)
-                return x
+                return jax.lax.fori_loop(
+                    0, K, lambda i, v: v * 1.000001, x
+                )
             return f
 
         report(
             f"copy r+w ({label})",
-            chain_cost(make_copy, k1, k2, x, reps=args.reps),
+            loop_cost(make_copy, k1, k2, x, reps=args.reps),
             2 * nbytes,
         )
 
@@ -82,14 +84,14 @@ def main():
         def make_axpy(K):
             @jax.jit
             def f(x, y):
-                for _ in range(K):
-                    x = jax.lax.optimization_barrier(1.000001 * x + y)
-                return x
+                return jax.lax.fori_loop(
+                    0, K, lambda i, v: 1.000001 * v + y, x
+                )
             return f
 
         report(
             f"axpy 2r+1w ({label})",
-            chain_cost(make_axpy, k1, k2, x, y, reps=args.reps),
+            loop_cost(make_axpy, k1, k2, x, y, reps=args.reps),
             3 * nbytes,
         )
 
@@ -109,32 +111,34 @@ def main():
     def make_blur(K):
         @jax.jit
         def f(x):
-            for _ in range(K):
-                x = jax.lax.optimization_barrier(
-                    jax.vmap(lambda im: gaussian_blur(im, 3))(x)
-                )
-            return x
+            return jax.lax.fori_loop(
+                0, K,
+                lambda i, v: jax.vmap(lambda im: gaussian_blur(im, 3))(v),
+                x,
+            )
         return f
 
+    # a separable gaussian3 is 2 conceptual passes (h then v sweep) if the
+    # intermediate materializes, 1 if XLA fuses them; report against 2 passes
     report(
-        "gaussian3 separable (8 x 1 MP)",
-        chain_cost(make_blur, 16, 128, x, reps=args.reps),
+        "gaussian3 separable (8 x 1 MP, 2-pass model)",
+        loop_cost(make_blur, 16, 128, x, reps=args.reps) / 2,
         2 * nbytes,
     )
 
     def make_warp(K):
         @jax.jit
         def f(x, w):
-            for _ in range(K):
-                x = jax.lax.optimization_barrier(
-                    jax.vmap(warp_affine_mxu)(x, w)
-                )
-            return x
+            return jax.lax.fori_loop(
+                0, K,
+                lambda i, v: jax.vmap(warp_affine_mxu)(v, w),
+                x,
+            )
         return f
 
     report(
         "warp_affine_mxu order2 (8 x 1 MP)",
-        chain_cost(make_warp, 8, 64, x, warp, reps=args.reps),
+        loop_cost(make_warp, 8, 64, x, warp, reps=args.reps),
         2 * nbytes,
     )
 

@@ -190,12 +190,18 @@ def transpose_f32(src: str, dst: str, rows: int, cols: int, block: int = 2048):
         if rc != 0:
             raise OSError(f"upsp_transpose_f32 failed with code {rc}")
         return
+    import importlib.machinery
     import importlib.util
 
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "upsp-matrix-transpose",
+    )
+    # the CLI script has no .py extension, so spec_from_file_location alone
+    # yields a loaderless spec — name the SourceFileLoader explicitly
+    loader = importlib.machinery.SourceFileLoader("upsp_matrix_transpose", path)
     spec = importlib.util.spec_from_file_location(
-        "upsp_matrix_transpose",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     "scripts", "upsp-matrix-transpose"),
+        "upsp_matrix_transpose", path, loader=loader
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
