@@ -57,19 +57,36 @@ def bench_tpu() -> float:
     n_distinct = min(8, N_FRAMES)
     distinct = make_frame_batch(state, n_distinct)
     reps_tile = -(-N_FRAMES // n_distinct)
-    frames = jnp.asarray(
-        np.tile(distinct, (reps_tile, 1, 1, 1))[:N_FRAMES]
-    )
+    base = np.tile(distinct, (reps_tile, 1, 1, 1))[:N_FRAMES]
+    # distinct device buffers per rep so no tunnel/runtime layer can dedupe
+    # repeated identical dispatches
+    inputs = [jnp.asarray(base + i * 1e-3) for i in range(4)]
 
-    batch_fn(frames).block_until_ready()  # warmup / compile
+    # Amortized final-fetch differencing (tools/benchlib.py): on this
+    # tunneled backend block_until_ready under-waits (measured: a 1024-pass
+    # fori_loop over 34 MB "completes" in 0.1 ms) and a device->host fetch
+    # costs a ~25 ms round trip.  Dispatch R chunks (the TPU stream executes
+    # in order, so fetching the LAST output forces all R) and difference two
+    # rep counts so fetch/dispatch overhead cancels — also the production-
+    # representative number, since the streaming driver pipelines chunks.
+    def run_stream(reps: int) -> float:
+        out = None
+        for i in range(reps):
+            out = batch_fn(inputs[i % len(inputs)])
+        return float(np.asarray(out.ravel()[0]))
 
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = batch_fn(frames)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    return N_FRAMES / dt
+    run_stream(2)  # warmup / compile
+    r1, r2 = 2, 8
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_stream(r1)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_stream(r2)
+        t2 = time.perf_counter() - t0
+        best = min(best, (t2 - t1) / (r2 - r1))
+    return N_FRAMES / best
 
 
 def bench_reference_cpu(n_frames: int = 2) -> float:

@@ -3,32 +3,29 @@
 Times the production chunk program with components switched off one at a
 time (GN step count, registration entirely, patch/filter) so the fixed ECC
 cost, the marginal GN-step cost, and the non-registration remainder can be
-read off as differences.  Chained-dispatch methodology (jit + reps +
-block_until_ready) per BENCH_NOTES.md.
+read off as differences.  Amortized final-fetch methodology (tools/
+benchlib.py) — ``block_until_ready`` under-waits on this backend, see
+BENCH_NOTES.md.
 
 Usage: python tools/bench_ablate.py [--hw 1024,1024] [--cams 1] [--frames 32]
 """
 
 import argparse
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchlib import per_call_seconds
+
 
 def time_fn(fn, arg, reps=3):
-    out = jax.block_until_ready(fn(arg))
-    del out
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        jax.block_until_ready(fn(arg))
-        times.append(time.time() - t0)
-    return min(times)
+    inputs = [arg, arg + 1e-3, arg + 2e-3]
+    return per_call_seconds(fn, inputs, r1=2, r2=6, trials=reps)
 
 
 def main():

@@ -3,7 +3,9 @@
 Chained-K methodology: each op is applied K times inside one jit (output
 feeds the next application where possible) so the ~25 ms tunnel RTT and
 dispatch floor amortize away; reported cost = (t_K - t_0) / K where t_0 is
-the empty chain.
+the empty chain.  Synchronization is a forced device->host fetch of one
+output element — ``block_until_ready`` under-waits on this backend (see
+tools/benchlib.py and BENCH_NOTES.md).
 
 Usage: python tools/bench_components.py [--hw 1024,1024] [--batch 8]
 """
@@ -20,12 +22,15 @@ import numpy as np
 
 
 def timed(fn, *args, reps=3):
-    out = jax.block_until_ready(fn(*args))
-    del out
+    def sync():
+        out = fn(*args)
+        return float(np.asarray(jax.tree.leaves(out)[0].ravel()[0]))
+
+    sync()
     ts = []
     for _ in range(reps):
         t0 = time.time()
-        jax.block_until_ready(fn(*args))
+        sync()
         ts.append(time.time() - t0)
     return min(ts)
 

@@ -43,13 +43,31 @@ def default_decimate(h: int, w: int) -> int:
     return k
 
 
+def _pool_matrix(n: int, k: int) -> jax.Array:
+    """(n//k, n) average-pooling matrix: row i averages source block i."""
+    m = n // k
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    return jnp.where(cols // k == rows, 1.0 / k, 0.0).astype(jnp.float32)
+
+
 def decimate_image(img: jax.Array, k: int) -> jax.Array:
-    """k x k average pool (crops to a multiple of k first)."""
+    """k x k average pool (crops to a multiple of k first).
+
+    Lowered as two separable pooling MATMULS (P_h @ img @ P_w^T): the
+    reshape-mean form lowers to a multi-axis reduce that the TPU backend
+    runs at ~50 GB/s (profiled at 0.09 ms/frame at 1 MP — as expensive as
+    the whole FFT correlation it feeds); the MXU form is ~0.5 GFLOP at 1 MP
+    and effectively free.  bf16 matmul quantization (~8 counts on a 2000-
+    count pooled pixel) is irrelevant here — the pooled image only seeds a
+    ~1 px-accuracy phase-correlation init.
+    """
     if k == 1:
         return img
     h, w = img.shape
     hh, ww = (h // k) * k, (w // k) * k
-    return img[:hh, :ww].reshape(hh // k, k, ww // k, k).mean(axis=(1, 3))
+    x = img[:hh, :ww].astype(jnp.float32)
+    return _pool_matrix(hh, k) @ x @ _pool_matrix(ww, k).T
 
 
 def _pow2_floor(n: int) -> int:

@@ -30,10 +30,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _tent_matrix(n_out: int, n_src: int, positions: jax.Array) -> jax.Array:
-    """(n_out, n_src) bilinear sampling matrix: row i samples src at positions[i]."""
+def _tent_matrix(
+    n_out: int, n_src: int, positions: jax.Array, dtype=None
+) -> jax.Array:
+    """(n_out, n_src) bilinear sampling matrix: row i samples src at positions[i].
+
+    ``dtype``: output dtype — positions/weights are always computed in f32
+    (bf16 cannot represent pixel indices past 256 exactly); a bf16 output
+    cast fuses into the same elementwise expression (one tiled write), so a
+    bf16 image pipeline never pays a separate conversion pass.
+    """
     j = jnp.arange(n_src, dtype=positions.dtype)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(positions[:, None] - j[None, :]))
+    t = jnp.maximum(0.0, 1.0 - jnp.abs(positions[:, None] - j[None, :]))
+    return t if dtype is None else t.astype(dtype)
 
 
 def _resample_rows_banded(img: jax.Array, pos: jax.Array, band: int) -> jax.Array:
@@ -95,18 +104,24 @@ def warp_affine_mxu(
     matching blur-then-warp to the same Taylor order.  Dense path only.
     """
     H, W = img.shape
-    dtype = jnp.float32
+    # bf16 images stay bf16 (the compute_dtype=bfloat16 pipeline: avoids the
+    # unfusable f32<->bf16 retiling copies around each matmul — bf16 uses
+    # (16,128) tiles vs f32's (8,128), so every dtype boundary is a real
+    # layout pass); positions/tent weights stay f32 for index accuracy, and
+    # the MXU computes bf16 x f32 -> f32 natively.
+    dtype = img.dtype if img.dtype == jnp.bfloat16 else jnp.float32
     img = img.astype(dtype)
     if pre_blur is not None and band is not None:
         from upsp_tpu.ops.image import gaussian_blur
 
         img = gaussian_blur(img, pre_blur)
         pre_blur = None
+    warp = warp.astype(jnp.float32)
     a00, a01, tx = warp[0, 0], warp[0, 1], warp[0, 2]
     a10, a11, ty = warp[1, 0], warp[1, 1], warp[1, 2]
 
-    ys = jnp.arange(H, dtype=dtype)
-    xs = jnp.arange(W, dtype=dtype)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
     cy = (H - 1) * 0.5
     cx = (W - 1) * 0.5
 
@@ -114,12 +129,14 @@ def warp_affine_mxu(
     y_sep = a11 * ys + ty + a10 * cx
     x_sep = a00 * xs + tx + a01 * cy
     if band is not None:
+        img = img.astype(jnp.float32)
+        dtype = jnp.float32
         sep = _resample_cols_banded(
             _resample_rows_banded(img, y_sep, band), x_sep, band
         )
     else:
-        R = _tent_matrix(H, H, y_sep)
-        C = _tent_matrix(W, W, x_sep)
+        R = _tent_matrix(H, H, y_sep, dtype)
+        C = _tent_matrix(W, W, x_sep, dtype)
         if pre_blur is not None:
             from upsp_tpu.ops.image import gaussian_blur_matrix_1d
 

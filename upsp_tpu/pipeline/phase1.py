@@ -89,6 +89,8 @@ def _process_frame_core(
     ecc_coarse_iters: int = 0,
     ecc_band: Optional[int] = None,
     ecc_valid_shift: Optional[jax.Array] = None,  # (C, 2) pre-shift [tx, ty]
+    ecc_epsilon: Optional[float] = None,  # while-loop |drho| stop (None=1e-3)
+    ecc_max_iters: Optional[int] = None,  # while-loop iteration cap (None=50)
 ):
     """One multi-camera frame -> (intensity (N,), warps (C,2,3), telemetry (C,4)).
 
@@ -116,6 +118,15 @@ def _process_frame_core(
                 else dict(max_iters=ecc_unroll_iters, unroll=True,
                           coarse_iters=ecc_coarse_iters, band=ecc_band)
             )
+            if ecc_unroll_iters is None:
+                # while-loop mode: convergence controls (the reference's
+                # cv2 criteria pair, psp_process semantics: COUNT 50 + EPS
+                # 1e-3; a tighter epsilon yields the fully-converged oracle
+                # used by the fixture vv parity tests)
+                if ecc_epsilon is not None:
+                    ecc_kw["epsilon"] = ecc_epsilon
+                if ecc_max_iters is not None:
+                    ecc_kw["max_iters"] = ecc_max_iters
             vs_c = (
                 None if ecc_valid_shift is None else ecc_valid_shift[c]
             )
@@ -277,6 +288,8 @@ def make_chunk_processor(
     ecc_iters: Optional[int] = None,
     ecc_coarse_iters: Optional[int] = None,
     ecc_band: Optional[int] = None,
+    ecc_epsilon: Optional[float] = None,
+    ecc_max_iters: Optional[int] = None,
 ):
     """Build the chunk program: (F, C, H, W) frames -> (F, N) intensities.
 
@@ -332,6 +345,8 @@ def make_chunk_processor(
         filter_size=cfg.filter_size,
         interpolation=cfg.pixel_interpolation,
         adjust_overlap=True,
+        ecc_epsilon=ecc_epsilon,
+        ecc_max_iters=ecc_max_iters,
     )
     mode = warm_start if cfg.registration == "pixel" else False
     if mode is True:
