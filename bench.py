@@ -50,6 +50,10 @@ def bench_tpu() -> float:
         state,
         warm_start=warm,
         frame_batch=int(os.environ.get("BENCH_FRAME_BATCH", "8")) if mode == "fft" else 1,
+        # BENCH_DTYPE=bfloat16 measures the opt-in half-width image path
+        # (vv-parity locked in tests/test_fixture_e2e.py); default stays the
+        # production f32 mode.
+        compute_dtype=os.environ.get("BENCH_DTYPE", "float32"),
     )
     # host-side synthesis is ~6 s/frame at 1 MP (bilinear sub-pixel jitter on
     # 2 cores); tile 8 distinct jittered frames to N_FRAMES — per-frame device

@@ -170,6 +170,67 @@ class TestFixtureEndToEnd:
             f"p99.9 dev {np.nanpercentile(d, 99.9):.2f} counts"
         )
 
+    def test_bf16_compute_dtype_vv_parity(self, fixture_run):
+        """bfloat16 inter-stage images on REAL imagery: the opt-in
+        compute_dtype="bfloat16" pipeline (halves image HBM traffic on TPU)
+        must stay inside the same vv envelope as the f32 production mode —
+        measured against the converged identity-start f32 ECC oracle, the
+        same yardstick as the sub-pixel envelope test above.
+
+        Measured on the fml frame (2026-08-20): bf16 warps within ~0.01 px
+        of the f32 production warps; per-node intensity deviation vs the f32
+        oracle mean 3.15 counts — matching the quantization model (~|I| *
+        2^-9 ~ 4 counts RMS per stage over ~4-5 quantizing stages, unbiased)
+        and far under the ~45-count shot noise of a ~2000-count 12-bit
+        signal; p99.9 in the tens of counts on sharp-gradient edge pixels.
+        Locked with headroom.
+        """
+        from upsp_tpu.pipeline.phase1 import make_chunk_processor
+
+        out = fixture_run["out"]
+        src = np.asarray(out.state.ref_frames[0], np.float32)
+        F = 4
+        rng = np.random.default_rng(13)
+        frames = np.empty((F, 1) + src.shape, np.float32)
+        for f in range(F):
+            t = rng.uniform(-0.6, 0.6, 2) if f else np.zeros(2)
+            M = np.float32([[1, 0, t[0]], [0, 1, t[1]]])
+            frames[f, 0] = cv2.warpAffine(
+                src, M, (src.shape[1], src.shape[0]), flags=cv2.INTER_LINEAR
+            )
+        fr = jnp.asarray(frames)
+
+        fn_f32 = make_chunk_processor(
+            out.state, warm_start="fft", frame_batch=4, with_telemetry=True
+        )
+        fn_bf16 = make_chunk_processor(
+            out.state, warm_start="fft", frame_batch=4, with_telemetry=True,
+            compute_dtype="bfloat16",
+        )
+        fn_oracle = make_chunk_processor(
+            out.state, warm_start=False, ecc_epsilon=1e-6, ecc_max_iters=200,
+            with_telemetry=True,
+        )
+        i_f32, t_f32 = fn_f32(fr)
+        i_bf16, t_bf16 = fn_bf16(fr)
+        i_orc, _ = fn_oracle(fr)
+        t_f32 = np.asarray(t_f32)[:, 0]
+        t_bf16 = np.asarray(t_bf16)[:, 0]
+
+        # bf16 warps track the f32 production warps on strong real texture
+        assert np.abs(t_bf16[:, 2:] - t_f32[:, 2:]).max() < 0.05, "warps"
+
+        vis = np.array(out.state.projections[0].visible)
+        d = np.abs(np.asarray(i_bf16) - np.asarray(i_orc))[:, vis]
+        d32 = np.abs(np.asarray(i_f32) - np.asarray(i_orc))[:, vis]
+        # same envelope shape as the f32 test, with bf16 quantization room
+        assert np.nanmean(d) < 6.0, f"mean dev {np.nanmean(d):.3f} counts"
+        assert np.nanpercentile(d, 99.9) < 40.0, (
+            f"p99.9 dev {np.nanpercentile(d, 99.9):.2f} counts"
+        )
+        # and not meaningfully worse than the f32 mode's own deviation tail
+        assert np.nanpercentile(d, 99.9) < np.nanpercentile(d32, 99.9) + 35.0
+
     def test_fft_mode_capture_range_beats_identity_ecc(self, fixture_run):
         """On the fixture's +-2 px integer-roll frames (BEYOND the blur-radius
         basin the reference's identity-start ECC assumes), the production fft

@@ -63,11 +63,15 @@ def decimate_image(img: jax.Array, k: int) -> jax.Array:
     ~1 px-accuracy phase-correlation init.
     """
     if k == 1:
-        return img
+        return img.astype(jnp.float32) if img.dtype == jnp.bfloat16 else img
     h, w = img.shape
     hh, ww = (h // k) * k, (w // k) * k
-    x = img[:hh, :ww].astype(jnp.float32)
-    return _pool_matrix(hh, k) @ x @ _pool_matrix(ww, k).T
+    # bf16 frames feed the pooling matmuls directly (no f32 conversion pass);
+    # the f32 pool matrices promote the product, so the FFT still sees f32
+    x = img[:hh, :ww]
+    if x.dtype != jnp.bfloat16:
+        x = x.astype(jnp.float32)
+    return (_pool_matrix(hh, k) @ x @ _pool_matrix(ww, k).T).astype(jnp.float32)
 
 
 def _pow2_floor(n: int) -> int:
@@ -169,7 +173,10 @@ def correlate(tmpl: CorrelationTemplate, img: jax.Array) -> jax.Array:
     """
     h, w = tmpl.hw
     small = pow2_center_crop(
-        decimate_image(img.astype(jnp.float32), tmpl.decimate)
+        decimate_image(
+            img if img.dtype == jnp.bfloat16 else img.astype(jnp.float32),
+            tmpl.decimate,
+        )
     )
     img_f = jnp.fft.rfft2(small * tmpl.window)
     cross = tmpl.spectrum * jnp.conj(img_f)

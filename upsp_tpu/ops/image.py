@@ -127,24 +127,33 @@ def gaussian_blur_matrix_1d(n: int, ksize: int, sigma: float = 0.0) -> np.ndarra
 
 @functools.partial(jax.jit, static_argnames=("ksize",))
 def gaussian_blur(img: jax.Array, ksize: int = 3, sigma: float = 0.0) -> jax.Array:
-    """Separable Gaussian blur with reflect-101 borders (cv2.GaussianBlur parity)."""
+    """Separable Gaussian blur with reflect-101 borders (cv2.GaussianBlur parity).
+
+    bfloat16 images stay bfloat16 (halves the HBM bytes of both passes; taps
+    accumulate in f32 registers, one fused output cast) — part of the
+    ``compute_dtype=bfloat16`` pipeline.  Everything else computes in f32.
+    """
+    out_dtype = img.dtype if img.dtype == jnp.bfloat16 else jnp.float32
     k = jnp.asarray(gaussian_kernel_1d(ksize, sigma))
     r = ksize // 2
-    x = _reflect101_pad(img.astype(jnp.float32), r)
+    x = _reflect101_pad(img if img.dtype == out_dtype else img.astype(jnp.float32), r)
     # horizontal then vertical 1-D convolutions via dot products over shifts
+    # (f32 kernel taps promote bf16 pixels to f32 in registers, so the
+    # accumulation is full precision either way)
     xh = sum(k[i] * x[:, i : i + img.shape[1]] for i in range(ksize))
     xv = sum(k[i] * xh[i : i + img.shape[0], :] for i in range(ksize))
-    return xv
+    return xv.astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("ksize",))
 def box_blur(img: jax.Array, ksize: int = 3) -> jax.Array:
     """Normalized box filter with reflect-101 borders (cv2.blur parity)."""
+    out_dtype = img.dtype if img.dtype == jnp.bfloat16 else jnp.float32
     r = ksize // 2
     x = _reflect101_pad(img.astype(jnp.float32), r)
     xh = sum(x[:, i : i + img.shape[1]] for i in range(ksize))
     xv = sum(xh[i : i + img.shape[0], :] for i in range(ksize))
-    return xv / float(ksize * ksize)
+    return (xv / float(ksize * ksize)).astype(out_dtype)
 
 
 def apply_filter(img: jax.Array, filter_type: str, ksize: int) -> jax.Array:
@@ -153,7 +162,7 @@ def apply_filter(img: jax.Array, filter_type: str, ksize: int) -> jax.Array:
         return gaussian_blur(img, ksize)
     if filter_type == "box":
         return box_blur(img, ksize)
-    return img.astype(jnp.float32)
+    return img if img.dtype == jnp.bfloat16 else img.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

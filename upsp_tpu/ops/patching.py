@@ -279,14 +279,20 @@ def build_patch_operator(
 
 
 def apply_patches(frame: jax.Array, op: Optional[PatchOperator]) -> jax.Array:
-    """Patch all clusters in one batched matmul + scatter (jit/vmap-safe)."""
+    """Patch all clusters in one batched matmul + scatter (jit/vmap-safe).
+
+    bfloat16 frames stay bfloat16 (the scatter rewrites the full image, so
+    the dtype sets the pass cost); the cluster matmul itself always runs on
+    gathered values promoted through the f32 operator.
+    """
+    dtype = frame.dtype if frame.dtype == jnp.bfloat16 else jnp.float32
     if op is None:
-        return frame.astype(jnp.float32)
-    flat = frame.reshape(-1).astype(jnp.float32)
+        return frame.astype(dtype)
+    flat = frame.reshape(-1).astype(dtype)
     z = flat[op.boundary_idx]  # (K, B_max); padded slots gather pixel 0 but
     # their M columns are zero, so they contribute nothing
     fill = jnp.einsum("kib,kb->ki", op.M, z)  # MXU batched matmul
     out = flat.at[op.internal_idx.reshape(-1)].set(
-        fill.reshape(-1), mode="drop"
+        fill.reshape(-1).astype(dtype), mode="drop"
     )
     return out.reshape(frame.shape)

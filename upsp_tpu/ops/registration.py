@@ -229,13 +229,24 @@ def _ecc_core(
     valid_shift: jax.Array | None = None,
 ):
     dtype = jnp.float32
-    tmpl = gaussian_blur(ref.astype(dtype), gauss_size)
+    # compute_dtype=bfloat16 pipeline: bf16 inputs keep the IMAGES bf16
+    # through blur/warp (halving every image pass and skipping the f32<->bf16
+    # retiling copies around the warp matmuls) while warp parameters, moment
+    # reductions, and the 6x6 solve stay f32 — products of bf16 pixels with
+    # f32 coordinates promote to f32 in registers, so all accumulation is
+    # full precision.
+    im_dtype = (
+        jnp.bfloat16
+        if (ref.dtype == jnp.bfloat16 or inp.dtype == jnp.bfloat16)
+        else dtype
+    )
+    tmpl = gaussian_blur(ref.astype(im_dtype), gauss_size)
     # NOTE a blur-free variant that composes the Gaussian into each
     # iteration's warp tents (ops/warp.py pre_blur — exact by associativity)
     # measured NEUTRAL on chip: the per-iteration (H,H)@(H,H) compose traffic
     # eats the two saved blur passes (BENCH_NOTES.md round 2).  The explicit
     # once-per-solve blur stays.
-    img = gaussian_blur(inp.astype(dtype), gauss_size)
+    img = gaussian_blur(inp.astype(im_dtype), gauss_size)
 
     H, W = tmpl.shape
     ys, xs = jnp.meshgrid(

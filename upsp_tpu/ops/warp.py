@@ -163,35 +163,42 @@ def warp_affine_mxu(
     dx = (a01 * (ys - cy))[:, None]  # (H, 1)
 
     # derivatives of img at the separable sample points, from central
-    # differences of `sep` (chain rule: d sep/d x_out = a00 * img_x)
+    # differences of `sep` (chain rule: d sep/d x_out = a00 * img_x).
+    # Derivative scratch arrays are f32 even on the bf16 path (the inv_a*
+    # scale factors are f32, so the set values are f32; a bf16 scatter would
+    # be an unsafe implicit downcast) — the final cast below restores dtype.
     inv_ax = 1.0 / a00
     inv_ay = 1.0 / a11
-    gx = jnp.zeros_like(sep)
-    gx = gx.at[:, 1:-1].set(0.5 * (sep[:, 2:] - sep[:, :-2]) * inv_ax)
-    gy = jnp.zeros_like(sep)
-    gy = gy.at[1:-1, :].set(0.5 * (sep[2:, :] - sep[:-2, :]) * inv_ay)
+    sep32 = sep.astype(jnp.float32)
+    gx = jnp.zeros(sep.shape, jnp.float32)
+    gx = gx.at[:, 1:-1].set(0.5 * (sep32[:, 2:] - sep32[:, :-2]) * inv_ax)
+    gy = jnp.zeros(sep.shape, jnp.float32)
+    gy = gy.at[1:-1, :].set(0.5 * (sep32[2:, :] - sep32[:-2, :]) * inv_ay)
 
     out = sep + dx * gx + dy * gy
     if order >= 2:
-        gxx = jnp.zeros_like(sep)
+        gxx = jnp.zeros(sep.shape, jnp.float32)
         gxx = gxx.at[:, 1:-1].set(
-            (sep[:, 2:] - 2 * sep[:, 1:-1] + sep[:, :-2]) * inv_ax * inv_ax
+            (sep32[:, 2:] - 2 * sep32[:, 1:-1] + sep32[:, :-2]) * inv_ax * inv_ax
         )
-        gyy = jnp.zeros_like(sep)
+        gyy = jnp.zeros(sep.shape, jnp.float32)
         gyy = gyy.at[1:-1, :].set(
-            (sep[2:, :] - 2 * sep[1:-1, :] + sep[:-2, :]) * inv_ay * inv_ay
+            (sep32[2:, :] - 2 * sep32[1:-1, :] + sep32[:-2, :]) * inv_ay * inv_ay
         )
-        gxy = jnp.zeros_like(sep)
+        gxy = jnp.zeros(sep.shape, jnp.float32)
         gxy = gxy.at[1:-1, 1:-1].set(
             0.25
             * (
-                sep[2:, 2:] - sep[2:, :-2] - sep[:-2, 2:] + sep[:-2, :-2]
+                sep32[2:, 2:] - sep32[2:, :-2] - sep32[:-2, 2:] + sep32[:-2, :-2]
             )
             * inv_ax
             * inv_ay
         )
         out = out + 0.5 * dx * dx * gxx + dx * dy * gxy + 0.5 * dy * dy * gyy
-    return out
+    # bf16 images: the shear-Taylor terms promote to f32 (dx/dy are f32
+    # coordinate ramps); one fused cast returns the image to the pipeline's
+    # compute dtype so downstream passes stay half-width
+    return out.astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("shape_hw",))

@@ -75,6 +75,17 @@ def phase1_params(state) -> Phase1Params:
     )
 
 
+def _as_compute_dtype(compute_dtype):
+    """Normalize a ``compute_dtype`` spec (str or dtype) to a jnp dtype."""
+    if compute_dtype in (None, "float32", jnp.float32):
+        return jnp.float32
+    if compute_dtype in ("bfloat16", jnp.bfloat16):
+        return jnp.bfloat16
+    raise ValueError(
+        f"compute_dtype must be float32 or bfloat16, got {compute_dtype!r}"
+    )
+
+
 def _process_frame_core(
     frames: jax.Array,  # (C, H, W) raw camera frames (uint16 or float)
     params: Phase1Params,
@@ -91,6 +102,7 @@ def _process_frame_core(
     ecc_valid_shift: Optional[jax.Array] = None,  # (C, 2) pre-shift [tx, ty]
     ecc_epsilon: Optional[float] = None,  # while-loop |drho| stop (None=1e-3)
     ecc_max_iters: Optional[int] = None,  # while-loop iteration cap (None=50)
+    compute_dtype=jnp.float32,  # image dtype between stages (f32 | bf16)
 ):
     """One multi-camera frame -> (intensity (N,), warps (C,2,3), telemetry (C,4)).
 
@@ -109,7 +121,7 @@ def _process_frame_core(
     processed = []
     for c in range(n_cams):
         img = fix_hot_pixels(frames[c])
-        img = img.astype(jnp.float32)
+        img = img.astype(compute_dtype)
         if registration == "pixel":
             init_c = None if warp_init is None else warp_init[c]
             ecc_kw = (
@@ -160,6 +172,84 @@ def _process_frame_core(
     if adjust_overlap:
         sol = sol[params.superseded_by]
     return sol, jnp.stack(warps), jnp.stack(telemetry)
+
+
+def _process_frame_cams_batched(
+    frames: jax.Array,  # (C, H, W) raw camera frames
+    params: Phase1Params,
+    registration: str,
+    patch: bool,
+    filter_type: str,
+    filter_size: int,
+    interpolation: str,
+    adjust_overlap: bool,
+    warp_init: Optional[jax.Array] = None,  # (C, 2, 3)
+    ecc_unroll_iters: int = 2,
+    ecc_coarse_iters: int = 0,
+    ecc_band: Optional[int] = None,
+    compute_dtype=jnp.float32,
+    **_ignored,
+):
+    """Camera-vmapped variant of :func:`_process_frame_core`.
+
+    The per-camera Python loop emits C separate warp matmuls / solves per
+    frame; vmapping over the camera axis fuses them into BATCHED MXU matmuls
+    (batch C x frame_batch at full config — 4x larger than the loop form),
+    cutting per-op dispatch/fusion overhead on multi-camera configs.  Only
+    valid for modes without data-dependent control flow (fixed-iteration ECC
+    or no registration) — the while-loop solve stays on the loop path.
+    Numerics are identical op-for-op to the loop form (vmap of the same
+    program); tests/test_phase1_cams.py locks the equivalence.
+    """
+    n_cams = frames.shape[0]
+    imgs = jax.vmap(fix_hot_pixels)(frames).astype(compute_dtype)
+    if registration == "pixel":
+        if warp_init is None:
+            warp_init = jnp.broadcast_to(identity_warp(), (n_cams, 2, 3))
+
+        def solve(ref, im, init):
+            return ecc_affine(
+                ref, im, warp_init=init, return_iters=True,
+                max_iters=ecc_unroll_iters, unroll=True,
+                coarse_iters=ecc_coarse_iters, band=ecc_band,
+            )
+
+        warps, rhos, iters = jax.vmap(solve)(
+            params.ref_frames, imgs, warp_init
+        )
+        telemetry = jnp.stack(
+            [rhos, iters.astype(jnp.float32), warps[:, 0, 2], warps[:, 1, 2]],
+            axis=1,
+        )
+        if interpolation == "nearest":
+            imgs = jax.vmap(
+                lambda im, w: warp_affine(im, w, interpolation="nearest")
+            )(imgs.astype(jnp.float32), warps)
+        else:
+            imgs = jax.vmap(
+                lambda im, w: warp_affine_mxu(im, w, band=ecc_band)
+            )(imgs, warps)
+    else:
+        warps = jnp.broadcast_to(identity_warp(), (n_cams, 2, 3))
+        telemetry = jnp.broadcast_to(
+            jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32), (n_cams, 4)
+        )
+    if patch and any(op is not None for op in params.patch_ops):
+        imgs = jnp.stack(
+            [apply_patches(imgs[c], params.patch_ops[c]) for c in range(n_cams)]
+        )
+    imgs = jax.vmap(lambda im: apply_filter(im, filter_type, filter_size))(imgs)
+    if params.combined_index is not None:
+        sol = imgs.reshape(-1)[params.combined_index] * params.combined_weight
+    else:
+        sol = None
+        for c in range(n_cams):
+            c_sol = project_frame(imgs[c], params.projections[c])
+            sol = c_sol if sol is None else sol + c_sol
+    sol = jnp.where(params.skipped, jnp.nan, sol)
+    if adjust_overlap:
+        sol = sol[params.superseded_by]
+    return sol, warps, telemetry
 
 
 @functools.partial(
@@ -290,6 +380,8 @@ def make_chunk_processor(
     ecc_band: Optional[int] = None,
     ecc_epsilon: Optional[float] = None,
     ecc_max_iters: Optional[int] = None,
+    compute_dtype="float32",
+    vmap_cameras: Optional[bool] = None,
 ):
     """Build the chunk program: (F, C, H, W) frames -> (F, N) intensities.
 
@@ -326,6 +418,20 @@ def make_chunk_processor(
       MXU path on this backend (the MXU wins even at 0.1% matrix density),
       so the default stays ``None``; the banded path doubles as an
       exactness oracle for the dense path's matmul precision.
+    - ``compute_dtype``: dtype of the IMAGES between pipeline stages
+      ("float32" default, or "bfloat16").  bf16 halves every image HBM pass
+      and removes the f32<->bf16 retiling copies around the warp matmuls
+      (bf16 tiles are (16,128) vs f32's (8,128) — each dtype boundary is a
+      real layout pass).  All reductions, warp parameters, and solves stay
+      f32 (bf16 pixels x f32 coordinates promote in registers).
+      Quantization is ~|I| * 2^-8 ~ 8-16 counts per stage at 12-bit full
+      scale — under the ~sqrt(I) ~ 50-count shot noise of real camera data;
+      parity vs the f32 path is locked in tests/test_bf16.py.  Opt-in; f32
+      remains the reference-parity mode.
+    - ``vmap_cameras``: vmap the per-frame program over the camera axis
+      instead of a Python loop (batched MXU matmuls across C cameras).
+      Default: on for multi-camera configs in batchable modes (fft /
+      no-registration), off otherwise.
     """
     # production default: 2 full-resolution GN steps, no coarse stage.  A 2x
     # coarse step was measured SLOWER on this backend (the decimated-size
@@ -338,6 +444,7 @@ def make_chunk_processor(
     p = phase1_params(state)
     cfg = state.config
     n_cams = int(state.ref_frames.shape[0])
+    cdtype = _as_compute_dtype(compute_dtype)
     static = dict(
         registration=cfg.registration,
         patch=(cfg.target_patcher == "polynomial"),
@@ -347,10 +454,19 @@ def make_chunk_processor(
         adjust_overlap=True,
         ecc_epsilon=ecc_epsilon,
         ecc_max_iters=ecc_max_iters,
+        compute_dtype=cdtype,
     )
     mode = warm_start if cfg.registration == "pixel" else False
     if mode is True:
         mode = "scan"
+    # camera-vmapped per-frame path: only modes without data-dependent
+    # control flow batch over cameras; single-camera configs keep the loop
+    # (a batch-1 leading dim buys nothing)
+    if vmap_cameras is None:
+        vmap_cameras = n_cams > 1
+    vmap_cameras = vmap_cameras and (
+        mode == "fft" or cfg.registration != "pixel"
+    )
     unpack_chunk = (
         _make_unpacker(packed_bits, lut, use_pallas, state.image_hw)
         if packed
@@ -385,13 +501,27 @@ def make_chunk_processor(
                 prepare_template(p.ref_frames[c], fft_decimate)
                 for c in range(n_cams)
             ]
+            core = (
+                _process_frame_cams_batched if vmap_cameras
+                else _process_frame_core
+            )
 
             def one(frame):
-                tvecs = jnp.stack(
-                    [correlate(tmpls[c], frame[c]) for c in range(n_cams)]
-                )  # (C, 2) [tx, ty], full-res px
+                if vmap_cameras:
+                    # vmapped phase correlation: one batched FFT over the
+                    # camera axis (spectra stacked; window/prior/shape are
+                    # shared across cameras of the same image size)
+                    t0 = tmpls[0]
+                    spec_b = jnp.stack([t.spectrum for t in tmpls])
+                    tvecs = jax.vmap(
+                        lambda s, im: correlate(t0._replace(spectrum=s), im)
+                    )(spec_b, frame)
+                else:
+                    tvecs = jnp.stack(
+                        [correlate(tmpls[c], frame[c]) for c in range(n_cams)]
+                    )  # (C, 2) [tx, ty], full-res px
                 init = jax.vmap(translation_warp)(tvecs)
-                sol, _, tele = _process_frame_core(
+                sol, _, tele = core(
                     frame, p, warp_init=init,
                     ecc_unroll_iters=ecc_iters,
                     ecc_coarse_iters=ecc_coarse_iters,
@@ -401,13 +531,18 @@ def make_chunk_processor(
 
             sols, teles = _batched_map(one, frames, frame_batch)
         else:
-            def one(frame):
-                sol, _, tele = _process_frame_core(frame, p, **static)
-                return sol, tele
-
             # without a while_loop ECC solve the frame program has no
             # data-dependent control flow, so it batches like fft mode
             batchable = static["registration"] != "pixel"
+            core = (
+                _process_frame_cams_batched if (vmap_cameras and batchable)
+                else _process_frame_core
+            )
+
+            def one(frame):
+                sol, _, tele = core(frame, p, **static)
+                return sol, tele
+
             sols, teles = _batched_map(
                 one, frames, frame_batch if batchable else 1
             )

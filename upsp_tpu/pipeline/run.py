@@ -294,6 +294,7 @@ def run_datapoint(
     mesh=None,
     warm_start="fft",
     frame_batch: int = 8,
+    compute_dtype: str = "float32",
 ) -> DatapointOutputs:
     """Process one datapoint end to end.
 
@@ -379,6 +380,7 @@ def run_datapoint(
         frame_batch=frame_batch if warm_start == "fft" else 1,
         with_telemetry=registration_telemetry,
         packed=use_packed,
+        compute_dtype=compute_dtype,
         **packed_kw,
     )
     if use_packed:
@@ -447,6 +449,7 @@ def run_datapoint_streaming(
     mesh=None,
     warm_start="fft",
     frame_batch: int = 8,
+    compute_dtype: str = "float32",
 ) -> DatapointOutputs:
     """Out-of-core datapoint processing for runs larger than host RAM.
 
@@ -513,7 +516,7 @@ def run_datapoint_streaming(
     fn = make_chunk_processor(
         state, mesh=mesh, warm_start=warm_start,
         frame_batch=frame_batch if warm_start == "fft" else 1,
-        packed=use_packed, **packed_kw
+        packed=use_packed, compute_dtype=compute_dtype, **packed_kw
     )
     ffs = FlatFileSet(cfg.out_dir)
     pid, pcount = _dist_info(mesh)
