@@ -1,10 +1,13 @@
 """Camera-vmapped phase-1 path vs the per-camera Python loop.
 
-``vmap_cameras`` replaces the per-camera loop with a camera-axis vmap so the
-warp/tent matmuls batch across cameras (4x larger MXU batches at the full
-4-camera config).  vmap of the same program must be numerically equivalent
-op-for-op; these tests lock that on the multi-camera synthetic scene for the
-batchable modes (fft-init unrolled ECC and no-registration).
+``vmap_cameras`` (opt-in) replaces the per-camera loop with a camera-axis
+vmap so the warp/tent matmuls batch across cameras.  Measured SLOWER at the
+production 4cam x 2MP config (73 vs 90 fps/chip — see make_chunk_processor),
+so the loop is the default; the vmapped path remains a tested capability for
+dispatch-bound small-image configs.  vmap of the same program must be
+numerically equivalent op-for-op; these tests lock that on the multi-camera
+synthetic scene for the batchable modes (fft-init unrolled ECC and
+no-registration).
 """
 
 import jax.numpy as jnp
@@ -59,17 +62,17 @@ class TestCameraVmapEquivalence:
         m = ~np.isnan(sol_l)
         np.testing.assert_allclose(sol_l[m], sol_v[m], rtol=1e-5, atol=1e-3)
 
-    def test_defaults_multicam_on_singlecam_off(self, scene):
-        """The auto default engages only for multi-camera batchable modes."""
+    def test_default_is_loop_path(self, scene):
+        """vmap_cameras is opt-in: the default equals the loop path
+        bit-for-bit (measured slower at the production 2 MP config, see
+        make_chunk_processor docstring)."""
         state, frames = scene
-        # multi-camera fft: default path is the vmapped one — outputs match
-        # the explicit setting bit-for-bit (same program)
         sol_d, _ = _run(state, frames, warm_start="fft", frame_batch=2)
-        sol_v, _ = _run(
-            state, frames, warm_start="fft", frame_batch=2, vmap_cameras=True
+        sol_l, _ = _run(
+            state, frames, warm_start="fft", frame_batch=2, vmap_cameras=False
         )
         m = ~np.isnan(sol_d)
-        np.testing.assert_array_equal(sol_d[m], sol_v[m])
+        np.testing.assert_array_equal(sol_d[m], sol_l[m])
 
     def test_bf16_composes_with_camera_vmap(self, scene):
         state, frames = scene

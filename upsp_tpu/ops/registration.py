@@ -188,8 +188,12 @@ def ecc_affine(
     model vibration is temporally coherent, so this typically converges in
     1-3 iterations instead of 5-15; the converged solution is unchanged since
     the objective and stopping rule are identical).  Returns (warp, rho), or
-    (warp, rho, iters) with ``return_iters`` — the per-sequence telemetry that
-    drives epsilon/iteration-budget tuning in production runs.
+    (warp, rho, conv) with ``return_iters`` — the per-sequence telemetry that
+    drives epsilon/iteration-budget tuning in production runs.  ``conv`` is
+    the iteration count in while-loop mode; in ``unroll`` (fixed-iteration)
+    mode it is the final |drho| instead — the count is a compile-time
+    constant there, while |drho| < epsilon certifies the solve reached the
+    while_loop fixed point.
     """
     init = identity_warp() if warp_init is None else warp_init
     if unroll and coarse_iters > 0:
@@ -212,8 +216,6 @@ def ecc_affine(
     out = _ecc_core(ref, inp, init, max_iters=max_iters,
                     epsilon=epsilon, gauss_size=gauss_size, unroll=unroll,
                     band=band, valid_shift=valid_shift)
-    if unroll and coarse_iters > 0:
-        out = (out[0], out[1], out[2] + coarse_iters)
     return out if return_iters else out[:2]
 
 
@@ -382,11 +384,15 @@ def _ecc_core(
         # slowest).  Pair with a phase-correlation init (ops/fftreg.py):
         # Gauss-Newton converges quadratically from inside the basin, so
         # max_iters=2-3 reaches the while_loop fixed point.
+        # The third return is the FINAL |drho| — a real convergence signal
+        # (the iteration count is a static constant here and carries no
+        # information; |drho| < epsilon means the solve reached the same
+        # fixed point the while_loop stopping rule accepts).
         state = init
         for _ in range(max_iters):
             state = body(state)
-        warp, rho, _, iters = state
-        return warp, rho, iters
+        warp, rho, drho, _ = state
+        return warp, rho, drho
     warp, rho, _, iters = jax.lax.while_loop(cond, body, init)
     return warp, rho, iters
 

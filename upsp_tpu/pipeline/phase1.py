@@ -106,9 +106,13 @@ def _process_frame_core(
 ):
     """One multi-camera frame -> (intensity (N,), warps (C,2,3), telemetry (C,4)).
 
-    Telemetry per camera is [rho, iterations, warp_tx, warp_ty] — the
-    on-device analog of the reference's per-frame registration logging, at
-    zero extra compute (all four values fall out of the ECC solve).
+    Telemetry per camera is [rho, conv, warp_tx, warp_ty] — the on-device
+    analog of the reference's per-frame registration logging, at zero extra
+    compute (all four values fall out of the ECC solve).  ``conv`` is the
+    iteration count in while-loop mode; in fixed-iteration (fft/unrolled)
+    mode it is the final |drho| of the last GN step — the real convergence
+    signal there (|drho| < epsilon means the solve reached the while_loop
+    fixed point; the unroll count itself is a compile-time constant).
 
     ``ecc_unroll_iters``: run a fixed, statically-unrolled number of ECC
     Gauss-Newton steps instead of the |drho| while_loop — no data-dependent
@@ -142,12 +146,12 @@ def _process_frame_core(
             vs_c = (
                 None if ecc_valid_shift is None else ecc_valid_shift[c]
             )
-            warp, rho, iters = ecc_affine(
+            warp, rho, conv = ecc_affine(
                 params.ref_frames[c], img, warp_init=init_c,
                 valid_shift=vs_c, return_iters=True, **ecc_kw
             )
             telemetry.append(
-                jnp.stack([rho, iters.astype(jnp.float32), warp[0, 2], warp[1, 2]])
+                jnp.stack([rho, conv.astype(jnp.float32), warp[0, 2], warp[1, 2]])
             )
             warps.append(warp)
             if interpolation == "nearest":
@@ -214,11 +218,11 @@ def _process_frame_cams_batched(
                 coarse_iters=ecc_coarse_iters, band=ecc_band,
             )
 
-        warps, rhos, iters = jax.vmap(solve)(
+        warps, rhos, convs = jax.vmap(solve)(
             params.ref_frames, imgs, warp_init
         )
         telemetry = jnp.stack(
-            [rhos, iters.astype(jnp.float32), warps[:, 0, 2], warps[:, 1, 2]],
+            [rhos, convs.astype(jnp.float32), warps[:, 0, 2], warps[:, 1, 2]],
             axis=1,
         )
         if interpolation == "nearest":
@@ -430,8 +434,10 @@ def make_chunk_processor(
       remains the reference-parity mode.
     - ``vmap_cameras``: vmap the per-frame program over the camera axis
       instead of a Python loop (batched MXU matmuls across C cameras).
-      Default: on for multi-camera configs in batchable modes (fft /
-      no-registration), off otherwise.
+      Opt-in (default off): measured SLOWER at the production 4cam x 2MP
+      config (73 vs 90 fps/chip — camera-batched warps/FFTs lower to worse
+      layouts and frame_batch already fills the batch dimension); only
+      valid in batchable modes (fft / no-registration).
     """
     # production default: 2 full-resolution GN steps, no coarse stage.  A 2x
     # coarse step was measured SLOWER on this backend (the decimated-size
@@ -460,11 +466,15 @@ def make_chunk_processor(
     if mode is True:
         mode = "scan"
     # camera-vmapped per-frame path: only modes without data-dependent
-    # control flow batch over cameras; single-camera configs keep the loop
-    # (a batch-1 leading dim buys nothing)
+    # control flow batch over cameras.  MEASURED SLOWER at the production
+    # full config (4 cam x 2 MP: 73 vs 90 fps/chip — the camera-batched
+    # warps/FFTs pick worse layouts than the unrolled per-camera ops, and
+    # frame_batch=8 already saturates the MXU batch dimension), so the
+    # default is the loop; the vmapped path stays as a tested opt-in for
+    # dispatch-bound small-image configs.
     if vmap_cameras is None:
-        vmap_cameras = n_cams > 1
-    vmap_cameras = vmap_cameras and (
+        vmap_cameras = False
+    vmap_cameras = vmap_cameras and n_cams > 1 and (
         mode == "fft" or cfg.registration != "pixel"
     )
     unpack_chunk = (

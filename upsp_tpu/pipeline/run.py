@@ -423,11 +423,13 @@ def run_datapoint(
             r.close()
 
     if registration_telemetry:
-        rho, iters = reg_telemetry[..., 0], reg_telemetry[..., 1]
+        rho, conv = reg_telemetry[..., 0], reg_telemetry[..., 1]
+        # conv = iteration count (while-loop modes) or final |drho| of the
+        # last GN step (fft/unrolled mode) — see phase1 telemetry docs
         log.info(
-            "registration: rho min/mean %.4f/%.4f, iters mean/max %.1f/%d, "
+            "registration: rho min/mean %.4f/%.4f, conv mean/max %.3g/%.3g, "
             "|t| max %.2f px",
-            rho.min(), rho.mean(), iters.mean(), int(iters.max()),
+            rho.min(), rho.mean(), conv.mean(), conv.max(),
             np.abs(reg_telemetry[..., 2:]).max(),
         )
         if cfg.out_dir and _is_rank0(mesh):
