@@ -166,3 +166,37 @@ class TestRegistrationTelemetryAnalysis:
         t.astype("<f4").tofile(tmp_path / "registration")
         back = read_registration_telemetry(str(tmp_path / "registration"), 1)
         np.testing.assert_array_equal(back, t)
+
+    def test_drho_semantics(self):
+        """fft/unrolled mode: column 1 is the final |drho|, not a count."""
+        from upsp_tpu.pipeline.diagnostics import analyze_registration_telemetry
+
+        t = self._tele(0, F=100)
+        t[:, 0, 1] = 1e-5
+        t[:5, 0, 1] = 5e-3  # 5% of frames end above epsilon
+        rep = analyze_registration_telemetry(t, conv_semantics="drho")
+        cam = rep["cameras"][0]
+        assert cam["conv_semantics"] == "drho"
+        assert cam["unconverged_frac"] == pytest.approx(0.05)
+        assert cam["recommend_extra_unroll_step"]
+        assert "recommended_max_iters" not in cam
+        # all-converged: no extra step recommended
+        t[:, 0, 1] = 1e-5
+        cam = analyze_registration_telemetry(t, conv_semantics="drho")["cameras"][0]
+        assert not cam["recommend_extra_unroll_step"]
+        assert cam["unconverged_frac"] == 0.0
+
+    def test_meta_sidecar_roundtrip(self, tmp_path):
+        from upsp_tpu.pipeline.diagnostics import (
+            read_registration_meta,
+            write_registration_meta,
+        )
+
+        # absent sidecar -> the legacy while-loop contract
+        meta = read_registration_meta(str(tmp_path / "registration"))
+        assert meta["conv_semantics"] == "iters"
+        write_registration_meta(str(tmp_path), "drho", ecc_iters=2)
+        meta = read_registration_meta(str(tmp_path / "registration"))
+        assert meta["conv_semantics"] == "drho"
+        assert meta["ecc_unroll_iters"] == 2
+        assert meta["columns"][1] == "drho"

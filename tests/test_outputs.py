@@ -373,8 +373,34 @@ class TestRegistrationTelemetry:
         assert out.n_frames == F
         tele = read_flat(str(tmp_path / "out" / "registration")).reshape(F, 1, 4)
         assert (tele[:, :, 0] > 0.8).all()
-        assert (tele[:, :, 1] >= 1).all()
+        # default mode is fft/unrolled: column 1 is the final |drho| of the
+        # last GN step — the convergence certificate (the step count is a
+        # compile-time constant there).  The sidecar records the contract.
+        from upsp_tpu.pipeline.diagnostics import (
+            analyze_registration_telemetry,
+            read_registration_meta,
+        )
+
+        meta = read_registration_meta(str(tmp_path / "out" / "registration"))
+        assert meta["conv_semantics"] == "drho"
+        # residuals, not counts: small non-negative values, exactly 0 for the
+        # even frames (identical to the reference frame -> converged at once)
+        assert (tele[:, :, 1] >= 0).all()
+        assert (tele[:, :, 1] < 0.05).all()
+        assert (tele[::2, :, 1] == 0).all()
         assert np.abs(tele[1:, :, 2:]).max() > 0.3  # rolled frames -> shift seen
+        # the analyzer consumes the recorded semantics without guessing: the
+        # rolled frames end above epsilon after 2 GN steps on this tiny
+        # synthetic, so it recommends one more unrolled step
+        rep = analyze_registration_telemetry(
+            tele, conv_semantics=meta["conv_semantics"], epsilon=meta["epsilon"]
+        )
+        cam = rep["cameras"][0]
+        assert cam["conv_semantics"] == "drho"
+        assert cam["unconverged_frac"] == pytest.approx(
+            float((tele[:, :, 1] >= meta["epsilon"]).mean())
+        )
+        assert cam["drho_max"] == pytest.approx(float(tele[:, :, 1].max()))
 
 
 class TestPackedIngestConfig:

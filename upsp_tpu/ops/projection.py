@@ -138,7 +138,10 @@ def build_node_projection_host(
 
     n = vertices.shape[0]
     center = np.array(cam_center(params), np.float64)
-    pix = np.array(project_points(params, jnp.asarray(vertices, jnp.float64)))
+    # f64 projection when x64 is live (tests/host); on TPU (no x64) request
+    # f32 explicitly rather than triggering the backend truncation warning
+    pdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    pix = np.array(project_points(params, jnp.asarray(vertices, pdtype)))
     in_frame = (
         (pix[:, 0] >= 0) & (pix[:, 0] < width)
         & (pix[:, 1] >= 0) & (pix[:, 1] < height)

@@ -153,9 +153,50 @@ def write_phase0_diagnostics(state, out_dir: str) -> None:
 
 # -- registration telemetry analysis ------------------------------------------
 
+def write_registration_meta(
+    out_dir: str, conv_semantics: str, ecc_iters=None,
+    max_iters: int = 50, epsilon: float = 1e-3,
+) -> None:
+    """Record what telemetry column 1 MEANS next to the flat file.
+
+    ``conv_semantics``: ``"iters"`` (while-loop ECC: iteration count) or
+    ``"drho"`` (fixed-iteration/fft ECC: the final |drho| of the last GN
+    step — the convergence certificate there, since the step count is a
+    compile-time constant).  The sidecar makes the flat-file contract
+    self-describing so downstream analysis never guesses the mode.
+    """
+    import json
+
+    meta = {
+        "columns": ["rho", conv_semantics, "warp_tx", "warp_ty"],
+        "conv_semantics": conv_semantics,
+        "epsilon": epsilon,
+        "max_iters": max_iters,
+    }
+    if ecc_iters is not None:
+        meta["ecc_unroll_iters"] = int(ecc_iters)
+    with open(os.path.join(out_dir, "registration.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def read_registration_meta(path: str) -> dict:
+    """Sidecar for a ``registration`` flat file (default if absent: the
+    while-loop "iters" contract, which predates the sidecar)."""
+    import json
+
+    mpath = os.path.join(os.path.dirname(path), "registration.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            return json.load(f)
+    return {"conv_semantics": "iters", "epsilon": 1e-3, "max_iters": 50}
+
+
 def read_registration_telemetry(path: str, n_cameras: int) -> np.ndarray:
     """Load the ``registration`` flat file written by run_datapoint
-    (registration_telemetry=True) back into (F, C, 4) [rho, iters, tx, ty]."""
+    (registration_telemetry=True) back into (F, C, 4)
+    [rho, conv, warp_tx, warp_ty].  Column 1 (``conv``) is the ECC iteration
+    count in while-loop modes and the final |drho| in fixed-iteration (fft)
+    mode — :func:`read_registration_meta` says which."""
     raw = np.fromfile(path, "<f4")
     return raw.reshape(-1, n_cameras, 4)
 
@@ -164,44 +205,69 @@ def analyze_registration_telemetry(
     telemetry: np.ndarray,
     max_iters: int = 50,
     epsilon: float = 1e-3,
+    conv_semantics: str = "iters",
 ) -> dict:
     """Per-camera ECC convergence report + tuning recommendations.
 
     Turns the free per-frame record into the adaptive-parameter policy the
-    reference leaves to the operator: if the iteration budget saturates,
-    relax epsilon (the sequence is noisy and late iterations buy nothing);
-    if convergence is immediate, tighten epsilon to bank accuracy headroom.
+    reference leaves to the operator.  ``conv_semantics`` selects the meaning
+    of telemetry column 1 (read it from :func:`read_registration_meta`):
+
+    - ``"iters"`` (while-loop ECC): if the iteration budget saturates, relax
+      epsilon (the sequence is noisy and late iterations buy nothing); if
+      convergence is immediate, tighten epsilon to bank accuracy headroom.
+    - ``"drho"`` (fixed-iteration/fft ECC): column 1 is the final |drho|; a
+      frame converged when it is below epsilon.  If the non-converged
+      fraction is material, recommend one more unrolled GN step.
+
     Frames whose correlation drops far below the sequence trend are flagged
-    for inspection (lamp flicker, a skipped frame, model strike).
+    for inspection (lamp flicker, a skipped frame, model strike) in both
+    modes.
     """
+    if conv_semantics not in ("iters", "drho"):
+        raise ValueError(f"conv_semantics must be iters|drho, got {conv_semantics!r}")
     tele = np.asarray(telemetry, np.float64)
     F, C, _ = tele.shape
     cameras = []
     for c in range(C):
         rho = tele[:, c, 0]
-        iters = tele[:, c, 1]
+        conv = tele[:, c, 1]
         shift = np.hypot(tele[:, c, 2], tele[:, c, 3])
-        p95 = float(np.percentile(iters, 95))
-        rec_iters = int(np.clip(np.ceil(p95 * 1.25), 5, max_iters))
-        if p95 >= max_iters:
-            rec_eps = epsilon * 3.0  # budget-bound: stop earlier
-        elif float(iters.mean()) <= 2.0:
-            rec_eps = epsilon / 3.0  # converges instantly: ask for more
-        else:
-            rec_eps = epsilon
         mu, sd = float(rho.mean()), float(rho.std())
         suspect = np.nonzero(rho < mu - 4.0 * max(sd, 1e-6))[0]
-        cameras.append(
-            {
-                "rho_min": float(rho.min()),
-                "rho_mean": mu,
-                "iters_mean": float(iters.mean()),
-                "iters_p95": p95,
-                "iters_max": int(iters.max()),
-                "shift_max_px": float(shift.max()),
-                "recommended_max_iters": rec_iters,
-                "recommended_epsilon": float(rec_eps),
-                "suspect_frames": suspect.tolist(),
-            }
-        )
+        rec = {
+            "rho_min": float(rho.min()),
+            "rho_mean": mu,
+            "shift_max_px": float(shift.max()),
+            "conv_semantics": conv_semantics,
+            "suspect_frames": suspect.tolist(),
+        }
+        if conv_semantics == "iters":
+            p95 = float(np.percentile(conv, 95))
+            rec_iters = int(np.clip(np.ceil(p95 * 1.25), 5, max_iters))
+            if p95 >= max_iters:
+                rec_eps = epsilon * 3.0  # budget-bound: stop earlier
+            elif float(conv.mean()) <= 2.0:
+                rec_eps = epsilon / 3.0  # converges instantly: ask for more
+            else:
+                rec_eps = epsilon
+            rec.update(
+                iters_mean=float(conv.mean()),
+                iters_p95=p95,
+                iters_max=int(conv.max()),
+                recommended_max_iters=rec_iters,
+                recommended_epsilon=float(rec_eps),
+            )
+        else:
+            unconverged = float((conv >= epsilon).mean())
+            rec.update(
+                drho_mean=float(conv.mean()),
+                drho_p95=float(np.percentile(conv, 95)),
+                drho_max=float(conv.max()),
+                unconverged_frac=unconverged,
+                # GN converges quadratically inside the basin: one more
+                # unrolled step when >2% of frames end above epsilon
+                recommend_extra_unroll_step=bool(unconverged > 0.02),
+            )
+        cameras.append(rec)
     return {"n_frames": F, "cameras": cameras}

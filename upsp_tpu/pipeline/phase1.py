@@ -191,8 +191,10 @@ def _process_frame_cams_batched(
     ecc_unroll_iters: int = 2,
     ecc_coarse_iters: int = 0,
     ecc_band: Optional[int] = None,
+    ecc_valid_shift: Optional[jax.Array] = None,
+    ecc_epsilon: Optional[float] = None,  # while-loop only; unused here
+    ecc_max_iters: Optional[int] = None,  # while-loop only; unused here
     compute_dtype=jnp.float32,
-    **_ignored,
 ):
     """Camera-vmapped variant of :func:`_process_frame_core`.
 
@@ -205,6 +207,16 @@ def _process_frame_cams_batched(
     Numerics are identical op-for-op to the loop form (vmap of the same
     program); tests/test_phase1_cams.py locks the equivalence.
     """
+    if ecc_valid_shift is not None:
+        # the loop path masks statistics with the composed pre-shift; this
+        # path has no such masking — silently dropping the shift would change
+        # border semantics, so fail loudly instead (ecc_epsilon/ecc_max_iters
+        # are while-loop-only controls, ignored in unrolled mode exactly as
+        # _process_frame_core ignores them)
+        raise NotImplementedError(
+            "ecc_valid_shift is not supported on the camera-vmapped path; "
+            "use the per-camera loop (vmap_cameras=False)"
+        )
     n_cams = frames.shape[0]
     imgs = jax.vmap(fix_hot_pixels)(frames).astype(compute_dtype)
     if registration == "pixel":
@@ -346,27 +358,36 @@ def _make_unpacker(packed_bits: int, lut, use_pallas: Optional[bool], image_hw):
 
 
 def _batched_map(one, frames, frame_batch: int):
-    """``lax.map(vmap(one))`` over frame batches (pad-and-trim on the tail).
+    """``lax.map(vmap(one))`` over frame batches; exact-size tail batch.
 
     B frames per loop step: elementwise passes and reductions amortize across
     the batch (big dispatch-floor win on small images, better pipelining at
     1 MP+).  Requires ``one`` to be vmappable — no data-dependent control
     flow (fixed-iteration ECC or no registration).
+
+    A non-multiple frame count runs the remainder through a SECOND vmap of
+    the same program at the exact tail size instead of padding with repeated
+    frames — no compute is spent on padding (the tail shape is static inside
+    this trace, and a short last chunk retraces the whole program anyway).
     """
     if frame_batch <= 1:
         return jax.lax.map(one, frames)
     n_f = frames.shape[0]
-    pad = (-n_f) % frame_batch
-    fr = (
-        jnp.concatenate([frames, jnp.repeat(frames[-1:], pad, axis=0)])
-        if pad
-        else frames
+    n_full = n_f // frame_batch
+    rem = n_f - n_full * frame_batch
+    if n_full == 0:
+        return jax.vmap(one)(frames)
+    batched = frames[: n_full * frame_batch].reshape(
+        (n_full, frame_batch) + frames.shape[1:]
     )
-    batched = fr.reshape((-1, frame_batch) + frames.shape[1:])
     outs = jax.lax.map(jax.vmap(one), batched)
-    return jax.tree.map(
-        lambda a: a.reshape((-1,) + a.shape[2:])[:n_f], outs
-    )
+    outs = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), outs)
+    if rem:
+        tail = jax.vmap(one)(frames[n_full * frame_batch :])
+        outs = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), outs, tail
+        )
+    return outs
 
 
 def make_chunk_processor(

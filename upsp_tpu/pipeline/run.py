@@ -184,7 +184,13 @@ def _chunk_iter(frames_array, readers, n_frames, start0, frames_per_chunk, packe
 
 
 def _pad_chunk(chunk: np.ndarray, n_dev: int):
-    """Pad the frame axis to a device-count multiple (repeat the last frame)."""
+    """Pad the frame axis to a device-count multiple (repeat the last frame).
+
+    Inherent to even SPMD sharding (shard_map needs equal per-device blocks);
+    only the FINAL chunk of a datapoint can pad, and by at most n_dev-1
+    frames — the per-batch tail inside the frame program pads nothing
+    (phase1._batched_map runs the remainder at its exact size).
+    """
     valid = chunk.shape[0]
     pad = (-valid) % n_dev
     if pad:
@@ -425,16 +431,21 @@ def run_datapoint(
     if registration_telemetry:
         rho, conv = reg_telemetry[..., 0], reg_telemetry[..., 1]
         # conv = iteration count (while-loop modes) or final |drho| of the
-        # last GN step (fft/unrolled mode) — see phase1 telemetry docs
+        # last GN step (fft/unrolled mode); the registration.json sidecar
+        # written below records which contract this run used
+        conv_semantics = "drho" if warm_start == "fft" else "iters"
         log.info(
-            "registration: rho min/mean %.4f/%.4f, conv mean/max %.3g/%.3g, "
+            "registration: rho min/mean %.4f/%.4f, conv(%s) mean/max %.3g/%.3g, "
             "|t| max %.2f px",
-            rho.min(), rho.mean(), conv.mean(), conv.max(),
+            rho.min(), rho.mean(), conv_semantics, conv.mean(), conv.max(),
             np.abs(reg_telemetry[..., 2:]).max(),
         )
         if cfg.out_dir and _is_rank0(mesh):
+            from upsp_tpu.pipeline.diagnostics import write_registration_meta
+
             os.makedirs(cfg.out_dir, exist_ok=True)
             FlatFileSet(cfg.out_dir).write("registration", reg_telemetry)
+            write_registration_meta(cfg.out_dir, conv_semantics)
 
     return _finish_from_intensity(
         cfg, state, intensity, write_outputs, mesh=mesh, camset=camset
