@@ -1,0 +1,305 @@
+"""Pallas ECC kernels (ops/pallas_ecc.py) vs the jnp reference path.
+
+Runs the kernels in interpreter mode on CPU (the production TPU lowering is
+exercised by bench.py and the driver); parity targets:
+
+- ``warp_affine_banded`` == ``warp_affine_mxu(order=2, band=8)`` (the exact
+  banded oracle) for in-contract warps, and == dense order-2 up to matmul
+  rounding.
+- ``ecc_gn_moments`` + ``ecc_statistics_from_moments`` == the _ecc_core body
+  statistics (Hessian, projections, norms, correlation) to f32 rounding.
+- ``ecc_affine(impl="pallas")`` lands on the same optimum as ``impl="jnp"``
+  (displacement-field comparison — affine parameters are individually
+  degenerate, the induced displacement is the physical quantity; same
+  convention as tests/test_registration.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from upsp_tpu.ops.pallas_ecc import (
+    ecc_gn_moments,
+    ecc_statistics_from_moments,
+    warp_affine_banded,
+)
+from upsp_tpu.ops.registration import ecc_affine
+from upsp_tpu.ops.warp import warp_affine_mxu, warp_validity_mask
+
+
+def make_test_image(rng, h=96, w=128):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w), np.float32)
+    for _ in range(12):
+        cx, cy = rng.uniform(10, w - 10), rng.uniform(10, h - 10)
+        s = rng.uniform(3, 12)
+        a = rng.uniform(500, 2000)
+        img += a * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
+    img += 800
+    return img.astype(np.float32)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+class TestBandedWarp:
+    def test_matches_banded_oracle(self, rng):
+        img = jnp.asarray(rng.normal(2000, 300, (96, 128)).astype(np.float32))
+        warp = jnp.asarray(
+            np.array([[1.0004, -2e-4, 0.37], [3e-4, 0.9996, -1.2]], np.float32)
+        )
+        ref = np.asarray(warp_affine_mxu(img, warp, order=2, band=8))
+        out = np.asarray(warp_affine_banded(img, warp))
+        assert np.abs(out - ref).max() < 2e-2  # f32 rounding on ~4000 counts
+
+    def test_identity_exact(self, rng):
+        img = jnp.asarray(rng.normal(2000, 300, (64, 128)).astype(np.float32))
+        from upsp_tpu.ops.registration import identity_warp
+
+        out = np.asarray(warp_affine_banded(img, identity_warp()))
+        np.testing.assert_allclose(out, np.asarray(img), rtol=0, atol=1e-4)
+
+    def test_border_constant_zero(self, rng):
+        img = jnp.asarray(rng.normal(2000, 300, (64, 96)).astype(np.float32) + 500)
+        warp = jnp.asarray(np.array([[1.0, 0.0, 2.0], [0.0, 1.0, -3.0]], np.float32))
+        out = np.asarray(warp_affine_banded(img, warp))
+        dense = np.asarray(warp_affine_mxu(img, warp, order=2))
+        np.testing.assert_allclose(out, dense, rtol=1e-5, atol=2e-2)
+        assert np.all(out[:3, :] == 0.0)  # ty=-3 walks off the top
+        assert np.all(out[:, -2:] == 0.0)  # tx=+2 walks off the right
+
+    def test_vmap_batches(self, rng):
+        imgs = jnp.asarray(rng.normal(2000, 300, (3, 64, 128)).astype(np.float32))
+        warps = jnp.stack(
+            [
+                jnp.asarray(
+                    np.array(
+                        [[1.0 + 3e-4 * i, 1e-4, 0.2 * i], [-1e-4, 1.0, -0.1 * i]],
+                        np.float32,
+                    )
+                )
+                for i in range(3)
+            ]
+        )
+        outs = np.asarray(jax.vmap(warp_affine_banded)(imgs, warps))
+        for i in range(3):
+            ref = np.asarray(warp_affine_mxu(imgs[i], warps[i], order=2, band=8))
+            assert np.abs(outs[i] - ref).max() < 2e-2
+
+    def test_bf16_images(self, rng):
+        img32 = jnp.asarray(rng.normal(2000, 300, (64, 128)).astype(np.float32))
+        warp = jnp.asarray(np.array([[1.0, 0.0, 0.4], [0.0, 1.0, -0.6]], np.float32))
+        out16 = np.asarray(
+            warp_affine_banded(img32.astype(jnp.bfloat16), warp)
+        ).astype(np.float32)
+        ref = np.asarray(warp_affine_mxu(img32, warp, order=2, band=8))
+        # bf16 storage rounding only (~8 counts at 4000 full scale)
+        assert np.abs(out16 - ref).max() < 16.0
+
+
+class TestMomentsKernel:
+    def _jnp_stats(self, iw, tmpl, warp, H, W):
+        ys, xs = jnp.meshgrid(
+            jnp.arange(H, dtype=jnp.float32),
+            jnp.arange(W, dtype=jnp.float32),
+            indexing="ij",
+        )
+        gix = jnp.zeros_like(iw).at[:, 1:-1].set(0.5 * (iw[:, 2:] - iw[:, :-2]))
+        giy = jnp.zeros_like(iw).at[1:-1, :].set(0.5 * (iw[2:, :] - iw[:-2, :]))
+        a00, a01 = warp[0, 0], warp[0, 1]
+        a10, a11 = warp[1, 0], warp[1, 1]
+        det = a00 * a11 - a01 * a10
+        gx = (a11 * gix - a10 * giy) / det
+        gy = (-a01 * gix + a00 * giy) / det
+        m = warp_validity_mask((H, W), warp)
+        area = jnp.maximum(jnp.sum(m), 1.0)
+        gx, gy = gx * m, gy * m
+        t_mean = jnp.sum(tmpl * m) / area
+        t_zm = (tmpl - t_mean) * m
+        i_mean = jnp.sum(iw * m) / area
+        i_zm = (iw - i_mean) * m
+
+        def proj(z):
+            return jnp.array(
+                [
+                    jnp.sum(gx * xs * z), jnp.sum(gy * xs * z),
+                    jnp.sum(gx * ys * z), jnp.sum(gy * ys * z),
+                    jnp.sum(gx * z), jnp.sum(gy * z),
+                ],
+                jnp.float32,
+            )
+
+        return (
+            proj(i_zm), proj(t_zm),
+            jnp.sum(i_zm * i_zm), jnp.sum(t_zm * i_zm),
+            jnp.sum(gx * gx * xs * xs), area,
+        )
+
+    def test_matches_jnp_statistics(self, rng):
+        H, W = 96, 128
+        tmpl = jnp.asarray(make_test_image(rng, H, W))
+        warp = jnp.asarray(
+            np.array([[1.0003, -1e-4, 0.5], [2e-4, 0.9997, -0.8]], np.float32)
+        )
+        iw = warp_affine_mxu(jnp.asarray(make_test_image(rng, H, W)), warp)
+        mom = ecc_gn_moments(iw, tmpl, warp, warp)
+        Hm, pi_p, pt_p, n2_p, c_p, tn_p, area_p = ecc_statistics_from_moments(mom)
+        pi_j, pt_j, n2_j, c_j, hxx_j, area_j = self._jnp_stats(iw, tmpl, warp, H, W)
+        np.testing.assert_allclose(np.asarray(pi_p), np.asarray(pi_j), rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(pt_p), np.asarray(pt_j), rtol=2e-3)
+        assert float(n2_p) == pytest.approx(float(n2_j), rel=1e-3)
+        assert float(c_p) == pytest.approx(float(c_j), rel=1e-3)
+        assert float(Hm[0, 0]) == pytest.approx(float(hxx_j), rel=1e-4)
+        assert float(area_p) == float(area_j)
+
+    def test_mask_warp_composition(self, rng):
+        """valid_shift-composed mask warp shrinks the area like the jnp mask."""
+        H, W = 64, 96
+        tmpl = jnp.asarray(make_test_image(rng, H, W))
+        iw = jnp.asarray(make_test_image(rng, H, W))
+        warp = jnp.asarray(np.eye(2, 3, dtype=np.float32))
+        shifted = jnp.asarray(
+            np.array([[1.0, 0.0, 4.0], [0.0, 1.0, -6.0]], np.float32)
+        )
+        area_full = float(ecc_statistics_from_moments(
+            ecc_gn_moments(iw, tmpl, warp, warp))[-1])
+        area_shift = float(ecc_statistics_from_moments(
+            ecc_gn_moments(iw, tmpl, warp, shifted))[-1])
+        assert area_full == H * W
+        assert area_shift == (H - 6) * (W - 4)
+
+
+class TestEccPallasImpl:
+    def _disp_diff(self, w1, w2, h, w):
+        ys, xs = np.mgrid[8 : h - 8, 8 : w - 8]
+        pts = np.stack([xs.ravel(), ys.ravel(), np.ones(xs.size)], axis=0)
+        return np.abs((np.asarray(w1) - np.asarray(w2)) @ pts).max()
+
+    def test_same_optimum_as_jnp(self, rng):
+        big = make_test_image(rng, h=192, w=256)
+        true = np.array([[1.0004, 2e-4, 0.6], [-3e-4, 0.9996, -1.1]], np.float32)
+        inp_big = np.asarray(warp_affine_mxu(jnp.asarray(big), jnp.asarray(true)))
+        crop = (slice(32, 160), slice(32, 224))
+        ref = jnp.asarray(np.ascontiguousarray(big[crop]))
+        inp = jnp.asarray(np.ascontiguousarray(inp_big[crop]))
+        H, W = ref.shape
+        w_j, r_j, _ = ecc_affine(
+            ref, inp, max_iters=3, unroll=True, return_iters=True, impl="jnp"
+        )
+        w_p, r_p, _ = ecc_affine(
+            ref, inp, max_iters=3, unroll=True, return_iters=True, impl="pallas"
+        )
+        assert self._disp_diff(w_j, w_p, H, W) < 0.02
+        assert float(r_j) > 0.999 and float(r_p) > 0.999
+        assert float(r_j) == pytest.approx(float(r_p), abs=1e-4)
+
+    def test_band_conflict_raises(self, rng):
+        img = jnp.asarray(make_test_image(rng))
+        with pytest.raises(ValueError, match="band"):
+            ecc_affine(img, img, max_iters=1, unroll=True, impl="pallas", band=8)
+
+
+class TestPreShiftPipeline:
+    """fft-mode integer pre-shift (phase1.make_chunk_processor)."""
+
+    def _setup(self, tmp_path, shift_scale=0.8, F=8):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent))
+        from test_driver_mesh import _config, _frames
+
+        from upsp_tpu.pipeline.phase0 import run_phase0
+
+        rng = np.random.default_rng(3)
+        shifts = np.cumsum(rng.normal(0, shift_scale, size=(F, 2)), axis=0)
+        shifts[0] = 0
+        frames = _frames(F, shifts=shifts)
+        cfg = _config(tmp_path, registration="pixel")
+        state = run_phase0(cfg, [frames[0, 0]], [12])
+        return state, frames
+
+    def test_pre_shift_matches_plain_fft(self, tmp_path):
+        """Pre-shifted solve == full-warp solve (same optimum, same borders
+        up to the sub-pixel boundary blend) — multi-pixel shifts included."""
+        from upsp_tpu.pipeline.phase1 import make_chunk_processor
+
+        state, frames = self._setup(tmp_path)
+        plain = make_chunk_processor(
+            state, warm_start="fft", ecc_iters=3, pre_shift=False
+        )
+        pre = make_chunk_processor(
+            state, warm_start="fft", ecc_iters=3, pre_shift=True
+        )
+        i1 = np.asarray(plain(jnp.asarray(frames)))
+        i2 = np.asarray(pre(jnp.asarray(frames)))
+        v = np.isfinite(i1)
+        assert np.isfinite(i2).sum() >= v.sum() - frames.shape[0]
+        both = v & np.isfinite(i2)
+        np.testing.assert_allclose(i2[both], i1[both], rtol=1e-4, atol=0.2)
+
+    def test_pallas_impl_end_to_end(self, tmp_path):
+        """ecc_impl='pallas' + pre-shift == jnp path through the full fused
+        frame program (interpret mode on CPU)."""
+        from upsp_tpu.pipeline.phase1 import make_chunk_processor
+
+        state, frames = self._setup(tmp_path, shift_scale=0.2, F=4)
+        jn = make_chunk_processor(
+            state, warm_start="fft", ecc_iters=2, pre_shift=True,
+            ecc_impl="jnp", with_telemetry=True,
+        )
+        pa = make_chunk_processor(
+            state, warm_start="fft", ecc_iters=2, pre_shift=True,
+            ecc_impl="pallas", with_telemetry=True,
+        )
+        i1, t1 = jn(jnp.asarray(frames))
+        i2, t2 = pa(jnp.asarray(frames))
+        i1, i2 = np.asarray(i1), np.asarray(i2)
+        v1 = np.isfinite(i1)  # NaN = skipped (invisible) nodes
+        both = v1 & np.isfinite(i2)
+        assert both.sum() >= v1.sum() - i1.shape[0]  # same coverage
+        np.testing.assert_allclose(i2[both], i1[both], rtol=1e-4, atol=0.2)
+        # telemetry: rho agrees; translation columns carry the TOTAL shift
+        t1, t2 = np.asarray(t1), np.asarray(t2)
+        np.testing.assert_allclose(t2[:, :, 0], t1[:, :, 0], atol=1e-3)
+        np.testing.assert_allclose(t2[:, :, 2:], t1[:, :, 2:], atol=0.05)
+
+    def test_telemetry_total_translation(self, tmp_path):
+        """Pre-shift mode telemetry reports the composed (total) shift.
+
+        Analytic multi-pixel shifts (no wrap artifacts): the phase
+        correlator captures the integer part, so t_int is genuinely nonzero
+        and the composed record must match the plain (no-pre-shift) path's
+        total translation.
+        """
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent))
+        from test_driver_mesh import _config, _frames
+
+        from upsp_tpu.pipeline.phase0 import run_phase0
+        from upsp_tpu.pipeline.phase1 import make_chunk_processor
+
+        shifts = [(0.0, 0.0), (2.3, -1.6), (-1.8, 2.2), (3.1, 0.4)]
+        frames = _frames(4, shifts=shifts)
+        cfg = _config(tmp_path, registration="pixel")
+        state = run_phase0(cfg, [frames[0, 0]], [12])
+        plain = make_chunk_processor(
+            state, warm_start="fft", ecc_iters=3, pre_shift=False,
+            with_telemetry=True,
+        )
+        pre = make_chunk_processor(
+            state, warm_start="fft", ecc_iters=3, pre_shift=True,
+            with_telemetry=True,
+        )
+        _, t1 = plain(jnp.asarray(frames))
+        _, t2 = pre(jnp.asarray(frames))
+        t1, t2 = np.asarray(t1), np.asarray(t2)
+        assert np.abs(t2[:, :, 2:]).max() > 1.5  # total, not residual
+        np.testing.assert_allclose(t2[:, :, 2:], t1[:, :, 2:], atol=0.1)
+        np.testing.assert_allclose(t2[:, :, 0], t1[:, :, 0], atol=1e-3)

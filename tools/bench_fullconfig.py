@@ -36,6 +36,10 @@ def main():
                     choices=["float32", "bfloat16"])
     ap.add_argument("--no-vmap-cameras", action="store_true",
                     help="force the per-camera Python loop path")
+    ap.add_argument("--json-out", default=None,
+                    help="write the measured record (t_frame_ms, fps, "
+                         "config, command) to this JSON file — the artifact "
+                         "bench_scaling_model.py consumes")
     args = ap.parse_args()
 
     H, W = map(int, args.hw.split(","))
@@ -99,7 +103,10 @@ def main():
     print(f"phase1: {t1*1e3:.0f} ms / {F} frames = {F/t1:.1f} frames/s/chip",
           flush=True)
 
+    t2 = None
     if not args.phase1_only:
+        from benchlib import force_fetch
+
         from upsp_tpu.ops.polyfit import detrend, make_detrender
 
         det = make_detrender(F, 6)
@@ -113,15 +120,38 @@ def main():
             return dcp, avg, rms
 
         t0 = time.time()
-        out = jax.block_until_ready(phase2_like(sols))
+        force_fetch(phase2_like(sols))
         print(f"phase2 compile+run: {time.time()-t0:.1f}s", flush=True)
-        t0 = time.time()
-        out = jax.block_until_ready(phase2_like(sols))
-        t2 = time.time() - t0
+        sols2 = full_step(inputs[1])
+        t2 = per_call_seconds(
+            phase2_like, [sols, sols2], r1=1, r2=4, trials=args.reps
+        )
         print(f"phase2: {t2*1e3:.0f} ms", flush=True)
         total = t1 + t2
         print(f"END2END: {F/total:.1f} frames/s/chip "
               f"({total*1e3:.0f} ms / {F} frames)", flush=True)
+
+    if args.json_out:
+        import json
+
+        rec = {
+            "config": {
+                "cams": C, "hw": [H, W], "mp": round(H * W / 1e6, 3),
+                "nodes": int(n_nodes), "frames": F, "mode": args.mode,
+                "frame_batch": args.frame_batch,
+                "compute_dtype": args.compute_dtype,
+            },
+            "t_frame_ms_phase1": round(t1 * 1e3 / F, 4),
+            "fps_phase1": round(F / t1, 2),
+            "command": " ".join(sys.argv),
+        }
+        if t2 is not None:
+            rec["t_phase2_ms_per_chunk"] = round(t2 * 1e3, 2)
+            rec["t_frame_ms_end2end"] = round((t1 + t2) * 1e3 / F, 4)
+            rec["fps_end2end"] = round(F / (t1 + t2), 2)
+        with open(args.json_out, "w") as fh:
+            json.dump(rec, fh, indent=1)
+        print(f"wrote {args.json_out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -11,7 +11,9 @@ kernel (a plain Python-unrolled chain with `optimization_barrier` measured
 ~0 us/pass here: the whole chain fused into one elementwise kernel).  The
 per-pass cost is (t_K2 - t_K1) / (K2 - K1) — differencing two loop lengths
 cancels dispatch/RTT exactly (the ~25 ms tunnel round trip otherwise buries
-passes measured in tens of microseconds).
+passes measured in tens of microseconds).  Synchronization is a forced
+device->host fetch (``block_until_ready`` under-waits on this backend —
+tools/benchlib.py).
 
 Usage: python tools/bench_hbm.py [--reps 5]
 """
@@ -21,6 +23,7 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 import jax
 import jax.numpy as jnp
@@ -28,11 +31,14 @@ import numpy as np
 
 
 def timed(fn, *args, reps=5):
-    jax.block_until_ready(fn(*args))
+    """Fetch-synced timing (block_until_ready under-waits here — benchlib)."""
+    from benchlib import force_fetch
+
+    force_fetch(fn(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        force_fetch(fn(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 

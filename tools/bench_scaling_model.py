@@ -24,7 +24,8 @@ Bandwidth assumptions (stated, not measured here):
     single link, 25 GB/s.
   - DCN (multi-host across slices): ~6.25 GB/s/host conservative.
 
-Usage: python tools/bench_scaling_model.py [--t-frame-ms 13.5] [--nodes 1e6]
+Usage: python tools/bench_scaling_model.py --from-bench BENCH_FULLCONFIG.json
+   or: ... --t-frame-ms <measured> --nodes 1e6  (no built-in defaults)
 """
 
 import argparse
@@ -50,12 +51,38 @@ def model(t_frame_ms: float, n_nodes: float, n_chips: int, bw_gbs: float,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--t-frame-ms", type=float, default=13.5,
+    ap.add_argument("--from-bench", default=None,
+                    help="BENCH_FULLCONFIG.json written by bench_fullconfig "
+                         "--json-out: t_frame_ms and node count are taken "
+                         "from the MEASURED record instead of defaults")
+    ap.add_argument("--t-frame-ms", type=float, default=None,
                     help="measured per-frame phase-1 time on 1 chip "
                          "(full config 4cam x 2MP: tools/bench_fullconfig.py)")
-    ap.add_argument("--nodes", type=float, default=1e6)
+    ap.add_argument("--nodes", type=float, default=None)
     ap.add_argument("--frames-per-chunk", type=int, default=1024)
+    ap.add_argument("--json-out", default=None,
+                    help="write the projection table (with its measured "
+                         "inputs) to this JSON file")
     args = ap.parse_args()
+
+    bench = None
+    if args.from_bench:
+        with open(args.from_bench) as fh:
+            bench = json.load(fh)
+        if args.t_frame_ms is None:
+            args.t_frame_ms = bench.get(
+                "t_frame_ms_end2end", bench["t_frame_ms_phase1"]
+            )
+        if args.nodes is None:
+            args.nodes = float(bench["config"]["nodes"])
+        print(f"measured inputs from {args.from_bench}: "
+              f"t_frame={args.t_frame_ms:.3f} ms, N={args.nodes:.0f} "
+              f"({bench['command']})")
+    if args.t_frame_ms is None or args.nodes is None:
+        ap.error("pass --from-bench BENCH_FULLCONFIG.json or explicit "
+                 "--t-frame-ms/--nodes — this tool refuses built-in "
+                 "defaults (a stale default is how the round-3 model "
+                 "contradicted the measured 11.1 ms)")
 
     cases = [
         ("ICI 4-link (100 GB/s/chip)", 100.0),
@@ -74,12 +101,31 @@ def main():
                   f"-> efficiency {m['efficiency']*100:6.2f}%  "
                   f"agg {m['agg_fps']:8.1f} fps")
     m16 = model(args.t_frame_ms, args.nodes, 16, 25.0, args.frames_per_chunk)
-    print("\n" + json.dumps({
+    headline = {
         "metric": "projected_v5e16_full_config_fps_worst_case",
         "value": round(m16["agg_fps"], 1),
         "efficiency_at_16_chips": round(m16["efficiency"], 4),
         "assumptions": "25 GB/s/chip egress, zero comm/compute overlap",
-    }))
+        "measured_inputs": {
+            "t_frame_ms": args.t_frame_ms,
+            "nodes": args.nodes,
+            "source": args.from_bench or "command line",
+        },
+    }
+    print("\n" + json.dumps(headline))
+    if args.json_out:
+        table = {
+            label: [
+                model(args.t_frame_ms, args.nodes, d, bw,
+                      args.frames_per_chunk)
+                for d in (2, 4, 8, 16)
+            ]
+            for label, bw in cases
+        }
+        with open(args.json_out, "w") as fh:
+            json.dump({"headline": headline, "table": table,
+                       "bench_record": bench}, fh, indent=1)
+        print(f"wrote {args.json_out}")
 
 
 if __name__ == "__main__":

@@ -166,7 +166,7 @@ def ecc_affine_pyramid(
     jax.jit,
     static_argnames=(
         "max_iters", "gauss_size", "return_iters", "unroll", "coarse_iters",
-        "band",
+        "band", "impl",
     ),
 )
 def ecc_affine(
@@ -181,6 +181,7 @@ def ecc_affine(
     coarse_iters: int = 0,
     band: int | None = None,
     valid_shift: jax.Array | None = None,
+    impl: str = "auto",
 ):
     """Estimate the 2x3 affine warp aligning ``inp`` to ``ref`` by ECC maximization.
 
@@ -194,6 +195,13 @@ def ecc_affine(
     mode it is the final |drho| instead — the count is a compile-time
     constant there, while |drho| < epsilon certifies the solve reached the
     while_loop fixed point.
+
+    ``impl``: GN-step implementation — "jnp" (dense MXU warp + fused XLA
+    reductions; the reference-exact path), "pallas" (ops/pallas_ecc.py fused
+    kernels: banded VMEM-resident warp + single-pass moment accumulation;
+    requires displacements within the banded contract — production fft mode
+    integer-pre-shifts to guarantee it), or "auto" (pallas on TPU in
+    unrolled mode, jnp elsewhere).
     """
     init = identity_warp() if warp_init is None else warp_init
     if unroll and coarse_iters > 0:
@@ -210,12 +218,12 @@ def ecc_affine(
         wc, _, _ = _ecc_core(
             rc, ic, scale_warp(init, 0.5), max_iters=coarse_iters,
             epsilon=epsilon, gauss_size=gauss_size, unroll=True, band=band,
-            valid_shift=vs_c,
+            valid_shift=vs_c, impl=impl,
         )
         init = scale_warp(wc, 2.0)
     out = _ecc_core(ref, inp, init, max_iters=max_iters,
                     epsilon=epsilon, gauss_size=gauss_size, unroll=unroll,
-                    band=band, valid_shift=valid_shift)
+                    band=band, valid_shift=valid_shift, impl=impl)
     return out if return_iters else out[:2]
 
 
@@ -229,7 +237,16 @@ def _ecc_core(
     unroll: bool = False,
     band: int | None = None,
     valid_shift: jax.Array | None = None,
+    impl: str = "auto",
 ):
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if (unroll and band is None and jax.default_backend() == "tpu")
+            else "jnp"
+        )
+    elif impl == "pallas" and band is not None:
+        raise ValueError("band (the XLA banded oracle) and impl='pallas' conflict")
     dtype = jnp.float32
     # compute_dtype=bfloat16 pipeline: bf16 inputs keep the IMAGES bf16
     # through blur/warp (halving every image pass and skipping the f32<->bf16
@@ -254,6 +271,48 @@ def _ecc_core(
     ys, xs = jnp.meshgrid(
         jnp.arange(H, dtype=dtype), jnp.arange(W, dtype=dtype), indexing="ij"
     )
+
+    def body_pallas(state):
+        """Fused-kernel GN step (ops/pallas_ecc.py): one HBM pass for the
+        banded warp, one for all statistics; algebra identical to ``body``
+        up to f32 rounding (zero-mean expansion with a brightness shift)."""
+        from upsp_tpu.ops.pallas_ecc import (
+            ecc_gn_moments,
+            ecc_statistics_from_moments,
+            warp_affine_banded,
+        )
+
+        warp, rho_prev, drho, it = state
+        iw = warp_affine_banded(img, warp)
+        mask_warp = (
+            warp
+            if valid_shift is None
+            else jnp.concatenate(
+                [warp[:, :2], (warp[:, 2] + valid_shift)[:, None]], axis=1
+            )
+        )
+        mom = ecc_gn_moments(iw, tmpl, warp, mask_warp)
+        (Hmat, i_proj, t_proj, iw_norm2, corr, tmpl_norm, _area) = (
+            ecc_statistics_from_moments(mom)
+        )
+        reg = 1e-9 * jnp.trace(Hmat) / 6.0 + 1e-12
+        Lc = _chol_factor_unrolled(Hmat + reg * jnp.eye(6, dtype=dtype))
+        Hinv_i = _chol_solve_unrolled(Lc, i_proj)
+        Hinv_t = _chol_solve_unrolled(Lc, t_proj)
+        num = iw_norm2 - i_proj @ Hinv_i
+        den = corr - t_proj @ Hinv_i
+        lam = num / jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
+        dp = lam * Hinv_t - Hinv_i
+        dwarp = jnp.array(
+            [[dp[0], dp[2], dp[4]], [dp[1], dp[3], dp[5]]], dtype
+        )
+        new_warp = warp + dwarp
+        new_warp = jnp.where(jnp.isfinite(new_warp), new_warp, warp)
+        rho = corr / jnp.maximum(
+            tmpl_norm * jnp.sqrt(jnp.maximum(iw_norm2, 0.0)), 1e-12
+        )
+        rho = jnp.where(jnp.isfinite(rho), rho, jnp.asarray(-1.0, dtype))
+        return new_warp, rho, jnp.abs(rho - rho_prev), it + 1
 
     def body(state):
         warp, rho_prev, drho, it = state
@@ -377,6 +436,7 @@ def _ecc_core(
         jnp.asarray(jnp.inf, dtype),
         0,
     )
+    step = body_pallas if impl == "pallas" else body
     if unroll:
         # fixed iteration count, statically unrolled: no data-dependent
         # control flow, so the whole solve vmaps over a frame batch (the
@@ -390,10 +450,10 @@ def _ecc_core(
         # fixed point the while_loop stopping rule accepts).
         state = init
         for _ in range(max_iters):
-            state = body(state)
+            state = step(state)
         warp, rho, drho, _ = state
         return warp, rho, drho
-    warp, rho, _, iters = jax.lax.while_loop(cond, body, init)
+    warp, rho, _, iters = jax.lax.while_loop(cond, step, init)
     return warp, rho, iters
 
 

@@ -103,6 +103,8 @@ def _process_frame_core(
     ecc_epsilon: Optional[float] = None,  # while-loop |drho| stop (None=1e-3)
     ecc_max_iters: Optional[int] = None,  # while-loop iteration cap (None=50)
     compute_dtype=jnp.float32,  # image dtype between stages (f32 | bf16)
+    ecc_impl: str = "auto",  # GN-step backend: auto | jnp | pallas
+    fix_hot: bool = True,  # hot-pixel repair (False when done by the caller)
 ):
     """One multi-camera frame -> (intensity (N,), warps (C,2,3), telemetry (C,4)).
 
@@ -119,12 +121,20 @@ def _process_frame_core(
     control flow, so the whole frame program vmaps over a frame batch.
     """
     n_cams = frames.shape[0]
+    # resolve the pallas dispatch once (mirrors _ecc_core's auto rule) so
+    # the final output warp uses the same kernel family as the solve
+    use_pallas = ecc_impl == "pallas" or (
+        ecc_impl == "auto"
+        and ecc_unroll_iters is not None
+        and ecc_band is None
+        and jax.default_backend() == "tpu"
+    )
     sol = None
     warps = []
     telemetry = []
     processed = []
     for c in range(n_cams):
-        img = fix_hot_pixels(frames[c])
+        img = fix_hot_pixels(frames[c]) if fix_hot else frames[c]
         img = img.astype(compute_dtype)
         if registration == "pixel":
             init_c = None if warp_init is None else warp_init[c]
@@ -132,7 +142,8 @@ def _process_frame_core(
                 {}
                 if ecc_unroll_iters is None
                 else dict(max_iters=ecc_unroll_iters, unroll=True,
-                          coarse_iters=ecc_coarse_iters, band=ecc_band)
+                          coarse_iters=ecc_coarse_iters, band=ecc_band,
+                          impl="pallas" if use_pallas else ecc_impl)
             )
             if ecc_unroll_iters is None:
                 # while-loop mode: convergence controls (the reference's
@@ -150,12 +161,19 @@ def _process_frame_core(
                 params.ref_frames[c], img, warp_init=init_c,
                 valid_shift=vs_c, return_iters=True, **ecc_kw
             )
+            # telemetry records the TOTAL translation (pre-shift composed
+            # back in) so the flat-file record is mode-independent
+            t_tot = warp[:, 2] if vs_c is None else warp[:, 2] + vs_c
             telemetry.append(
-                jnp.stack([rho, conv.astype(jnp.float32), warp[0, 2], warp[1, 2]])
+                jnp.stack([rho, conv.astype(jnp.float32), t_tot[0], t_tot[1]])
             )
             warps.append(warp)
             if interpolation == "nearest":
                 img = warp_affine(img, warp, interpolation="nearest")
+            elif use_pallas:
+                from upsp_tpu.ops.pallas_ecc import warp_affine_banded
+
+                img = warp_affine_banded(img, warp)
             else:
                 img = warp_affine_mxu(img, warp, band=ecc_band)
         else:
@@ -195,6 +213,8 @@ def _process_frame_cams_batched(
     ecc_epsilon: Optional[float] = None,  # while-loop only; unused here
     ecc_max_iters: Optional[int] = None,  # while-loop only; unused here
     compute_dtype=jnp.float32,
+    ecc_impl: str = "auto",
+    fix_hot: bool = True,
 ):
     """Camera-vmapped variant of :func:`_process_frame_core`.
 
@@ -218,7 +238,13 @@ def _process_frame_cams_batched(
             "use the per-camera loop (vmap_cameras=False)"
         )
     n_cams = frames.shape[0]
-    imgs = jax.vmap(fix_hot_pixels)(frames).astype(compute_dtype)
+    use_pallas = ecc_impl == "pallas" or (
+        ecc_impl == "auto" and ecc_band is None
+        and jax.default_backend() == "tpu"
+    )
+    imgs = (
+        jax.vmap(fix_hot_pixels)(frames) if fix_hot else frames
+    ).astype(compute_dtype)
     if registration == "pixel":
         if warp_init is None:
             warp_init = jnp.broadcast_to(identity_warp(), (n_cams, 2, 3))
@@ -228,6 +254,7 @@ def _process_frame_cams_batched(
                 ref, im, warp_init=init, return_iters=True,
                 max_iters=ecc_unroll_iters, unroll=True,
                 coarse_iters=ecc_coarse_iters, band=ecc_band,
+                impl="pallas" if use_pallas else ecc_impl,
             )
 
         warps, rhos, convs = jax.vmap(solve)(
@@ -241,6 +268,10 @@ def _process_frame_cams_batched(
             imgs = jax.vmap(
                 lambda im, w: warp_affine(im, w, interpolation="nearest")
             )(imgs.astype(jnp.float32), warps)
+        elif use_pallas:
+            from upsp_tpu.ops.pallas_ecc import warp_affine_banded
+
+            imgs = jax.vmap(warp_affine_banded)(imgs, warps)
         else:
             imgs = jax.vmap(
                 lambda im, w: warp_affine_mxu(im, w, band=ecc_band)
@@ -407,6 +438,8 @@ def make_chunk_processor(
     ecc_max_iters: Optional[int] = None,
     compute_dtype="float32",
     vmap_cameras: Optional[bool] = None,
+    ecc_impl: str = "auto",
+    pre_shift: Optional[bool] = None,
 ):
     """Build the chunk program: (F, C, H, W) frames -> (F, N) intensities.
 
@@ -453,6 +486,18 @@ def make_chunk_processor(
       scale — under the ~sqrt(I) ~ 50-count shot noise of real camera data;
       parity vs the f32 path is locked in tests/test_bf16.py.  Opt-in; f32
       remains the reference-parity mode.
+    - ``ecc_impl``: GN-step backend — "auto" (Pallas fused kernels on TPU
+      in fft mode, jnp elsewhere; ops/pallas_ecc.py), "jnp", "pallas".
+    - ``pre_shift`` (fft mode): split the phase-correlation estimate into
+      integer + fractional parts, integer-shift the frame on device
+      (ops/warp.py integer_shift — one cheap elementwise pass) and solve
+      ECC for the sub-pixel residual with the shift composed into the
+      validity mask (the ``valid_shift`` machinery of ops/registration.py).
+      Algebraically identical to solving the full warp (the composed sample
+      positions coincide; the shift's zero strip is exactly the composed
+      warp's out-of-bounds region), and it BOUNDS every ECC displacement to
+      ~sub-pixel + GN updates — the contract the banded Pallas kernels need.
+      Default: on whenever the Pallas impl is active.
     - ``vmap_cameras``: vmap the per-frame program over the camera axis
       instead of a Python loop (batched MXU matmuls across C cameras).
       Opt-in (default off): measured SLOWER at the production 4cam x 2MP
@@ -482,10 +527,25 @@ def make_chunk_processor(
         ecc_epsilon=ecc_epsilon,
         ecc_max_iters=ecc_max_iters,
         compute_dtype=cdtype,
+        ecc_impl=ecc_impl,
     )
     mode = warm_start if cfg.registration == "pixel" else False
     if mode is True:
         mode = "scan"
+    # the banded Pallas kernels need bounded displacements; integer
+    # pre-shifting provides exactly that, so it defaults on with them
+    use_pallas = ecc_impl == "pallas" or (
+        ecc_impl == "auto" and mode == "fft" and ecc_band is None
+        and jax.default_backend() == "tpu"
+    )
+    if pre_shift is None:
+        pre_shift = use_pallas
+    pre_shift = pre_shift and mode == "fft" and cfg.registration == "pixel"
+    if use_pallas and not pre_shift and ecc_impl == "auto":
+        # no bounded-displacement guarantee without the pre-shift: fall
+        # back to the dense jnp path rather than risk the banded contract
+        # (pass ecc_impl="pallas" explicitly to override)
+        static["ecc_impl"] = "jnp"
     # camera-vmapped per-frame path: only modes without data-dependent
     # control flow batch over cameras.  MEASURED SLOWER at the production
     # full config (4 cam x 2 MP: 73 vs 90 fps/chip — the camera-batched
@@ -498,6 +558,13 @@ def make_chunk_processor(
     vmap_cameras = vmap_cameras and n_cams > 1 and (
         mode == "fft" or cfg.registration != "pixel"
     )
+    if vmap_cameras:
+        # the camera-vmapped path carries no valid_shift (it raises), so
+        # pre-shifting is off there; without the bounded-displacement
+        # guarantee the banded Pallas kernels may not engage automatically
+        pre_shift = False
+        if static["ecc_impl"] == "auto":
+            static["ecc_impl"] = "jnp"
     unpack_chunk = (
         _make_unpacker(packed_bits, lut, use_pallas, state.image_hw)
         if packed
@@ -538,6 +605,37 @@ def make_chunk_processor(
             )
 
             def one(frame):
+                if pre_shift:
+                    # hot-pixel repair FIRST (the reference's order), then
+                    # split the translation estimate: integer part shifted
+                    # off on device, sub-pixel residual solved by ECC with
+                    # the shift composed into the validity mask — bounds
+                    # every ECC displacement to the banded-kernel contract
+                    from upsp_tpu.ops.image import fix_hot_pixels
+                    from upsp_tpu.ops.warp import integer_shift
+
+                    fixed = [fix_hot_pixels(frame[c]) for c in range(n_cams)]
+                    tvecs = jnp.stack(
+                        [correlate(tmpls[c], fixed[c]) for c in range(n_cams)]
+                    )
+                    t_int = jnp.rint(tvecs)
+                    shifted = jnp.stack(
+                        [
+                            integer_shift(
+                                fixed[c].astype(jnp.float32), t_int[c]
+                            )
+                            for c in range(n_cams)
+                        ]
+                    )
+                    init = jax.vmap(translation_warp)(tvecs - t_int)
+                    sol, _, tele = core(
+                        shifted, p, warp_init=init,
+                        ecc_unroll_iters=ecc_iters,
+                        ecc_coarse_iters=ecc_coarse_iters,
+                        ecc_band=ecc_band, ecc_valid_shift=t_int,
+                        fix_hot=False, **static
+                    )
+                    return sol, tele
                 if vmap_cameras:
                     # vmapped phase correlation: one batched FFT over the
                     # camera axis (spectra stacked; window/prior/shape are

@@ -27,6 +27,10 @@ from upsp_tpu.parallel.mesh import fetch_global
 from upsp_tpu.io.wtd import TunnelConditions, model_temperature
 from upsp_tpu.ops.polyfit import PolyDetrender, detrend, make_detrender
 
+import logging
+
+log = logging.getLogger("upsp_tpu")
+
 
 class Phase2Constants(NamedTuple):
     """Scalar physics inputs, device-ready."""
@@ -233,6 +237,15 @@ def run_phase2_sharded(
         it = it[:, :F]  # drop frame padding before any math
         return phase2_convert(it, avg, cov, st, mt, const, det)
 
+    # measured reshard volume (feeds tools/bench_scaling_model.py): each
+    # device holds an (F/D, N) block and keeps only its (F/D, N/D) diagonal
+    egress = 4 * (F_pad // n_dev) * N_pad * (n_dev - 1) // n_dev
+    log.info(
+        "phase2 reshard: %d x %d f32 over %d devices -> "
+        "%.2f MB egress/device/chunk (%.3f MB/frame)",
+        F_pad, N_pad, n_dev, egress / 1e6,
+        egress / 1e6 / max(F_pad // n_dev, 1),
+    )
     out = convert(intensity_dev, avg_dev, cov_dev, steady_dev, mtemp_dev)
     return Phase2Outputs(
         pressure_transpose=fetch_global(out.pressure_transpose)[:N],
