@@ -93,9 +93,9 @@ def bench_tpu(state, inputs, compute_dtype: str = "float32") -> float:
         run_stream(r2)
         t2 = time.perf_counter() - t0
         trials.append((t2 - t1) / (r2 - r1))
-    # (best fps, per-trial band) — the band classifies run-to-run chip
+    # per-trial fps band, ascending — the band classifies run-to-run chip
     # variance vs real regressions when comparing across rounds
-    return [N_FRAMES / t for t in sorted(trials)]
+    return sorted(N_FRAMES / t for t in trials)
 
 
 def bench_reference_cpu(n_frames: int = 2) -> float:
@@ -145,7 +145,7 @@ def main() -> None:
     # single dtype for ad-hoc runs.
     pinned = os.environ.get("BENCH_DTYPE")
     band = bench_tpu(state, inputs, compute_dtype=pinned or "float32")
-    fps = band[-1]
+    fps = band[len(band) // 2]  # median trial: stable against one-off stalls
     band_bf16 = (
         None if pinned else bench_tpu(state, inputs, compute_dtype="bfloat16")
     )
@@ -164,8 +164,9 @@ def main() -> None:
         "trial_fps_max": round(band[-1], 3),
     }
     if band_bf16 is not None:
-        rec["bf16_optin_fps"] = round(band_bf16[-1], 3)
+        rec["bf16_optin_fps"] = round(band_bf16[len(band_bf16) // 2], 3)
         rec["bf16_trial_fps_min"] = round(band_bf16[0], 3)
+        rec["bf16_trial_fps_max"] = round(band_bf16[-1], 3)
     print(json.dumps(rec))
 
 

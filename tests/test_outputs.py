@@ -325,6 +325,46 @@ class TestResumeAndDeterminism:
             )
             assert "rms" in fh and "average" in fh and "coverage" in fh
 
+    def test_streaming_callable_source_matches_array(self, tmp_path):
+        """A device-resident frame source yields the same outputs as the
+        equivalent in-memory array (the endurance benchmark's ingest mode)."""
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from upsp_tpu.io.flatfile import read_flat
+        from upsp_tpu.pipeline.run import run_datapoint_streaming
+
+        cfg, frames = self._setup(tmp_path)
+        cfg_a = dc.replace(cfg, out_dir=str(tmp_path / "out_a"))
+        ref = run_datapoint_streaming(
+            cfg_a, frames_array=frames, frames_per_chunk=5, node_block=64,
+            write_hdf5=False,
+        )
+
+        dev = jnp.asarray(frames)
+
+        def source(start, count):
+            return dev[start : start + count]
+
+        cfg_b = dc.replace(
+            cfg, out_dir=str(tmp_path / "out_b"), frames=frames.shape[0]
+        )
+        out = run_datapoint_streaming(
+            cfg_b, frames_array=source, frames_per_chunk=5, node_block=64,
+            write_hdf5=False,
+        )
+        np.testing.assert_array_equal(
+            out.intensity_avg, ref.intensity_avg
+        )
+        np.testing.assert_array_equal(
+            np.array(out.phase2.rms), np.array(ref.phase2.rms)
+        )
+        np.testing.assert_array_equal(
+            read_flat(str(tmp_path / "out_b" / "pressure_transpose")),
+            read_flat(str(tmp_path / "out_a" / "pressure_transpose")),
+        )
+
 
 class TestRegistrationTelemetry:
     def test_run_writes_registration_file(self, tmp_path):

@@ -51,7 +51,29 @@ def xplane_op_table(logdir):
         except OSError:
             data = data.decode()
     rows = list(csv.DictReader(io.StringIO(data)))
-    return rows
+    if rows:
+        return rows
+    # newer xprof emits gviz JSON ({"cols": [...], "rows": [{"c": [...]}]})
+    import json
+
+    tables = json.loads(data)
+    if isinstance(tables, dict):
+        tables = [tables]
+    # the tool emits the same op table more than once (combined + per-device
+    # views with identical content) — parse only the FIRST table or every op
+    # double-counts
+    out = []
+    for tb in tables:
+        if not isinstance(tb, dict) or "cols" not in tb:
+            continue
+        labels = [c.get("label") or c.get("id") for c in tb["cols"]]
+        for r in tb.get("rows", []):
+            out.append(
+                {lab: cell.get("v") for lab, cell in zip(labels, r["c"])}
+            )
+        if out:
+            break
+    return out
 
 
 def main():
@@ -107,7 +129,9 @@ def main():
         print("columns:", sorted(rows[0].keys()))
     def selftime(r):
         for k, v in r.items():
-            if "self" in k.lower() and "time" in k.lower() and "avg" not in k.lower():
+            kl = k.lower()
+            if ("self" in kl and "time" in kl and "avg" not in kl
+                    and "%" not in kl):
                 try:
                     return float(v)
                 except (TypeError, ValueError):
@@ -116,11 +140,12 @@ def main():
 
     rows = [
         (
-            col(r, "Operation", "operation", "Op name", "Op_name"),
+            col(r, "Operation", "operation", "Operation Name", "Op name"),
             selftime(r),
-            col(r, "Type", "type", "Category", "category"),
+            col(r, "Type", "type", "Operation Type", "Category", "category"),
         )
         for r in rows
+        if col(r, "Host/device", "host_or_device") in ("", "Device")
     ]
     rows.sort(key=lambda t: -t[1])
     total = sum(t[1] for t in rows)

@@ -266,8 +266,31 @@ def _batch_iter(
     frames_array, readers, n_frames, start0, frames_per_chunk, packed, mesh
 ):
     """Unified chunk feed: yields (start, valid, device batch) for every
-    ingest mode — in-memory array, single-process files, multi-process
-    per-host file slices."""
+    ingest mode — in-memory array, callable frame source, single-process
+    files, multi-process per-host file slices.
+
+    A CALLABLE ``frames_array`` is a device-resident ingest hook
+    ``source(start, count) -> (count, C, H, W)`` (device or host array) —
+    used when frames are produced by something other than a video file (a
+    simulator, a staged device buffer, the endurance benchmark's on-device
+    synthesis) so ingest need not round-trip through host RAM.
+    """
+    if callable(frames_array):
+        n_dev = 1 if mesh is None else int(mesh.devices.size)
+        from upsp_tpu.parallel.mesh import frame_sharding
+
+        for s in range(0, n_frames, frames_per_chunk):
+            valid = min(frames_per_chunk, n_frames - s)
+            batch = frames_array(s, valid)
+            pad = (-valid) % n_dev
+            if pad:
+                batch = jnp.concatenate(
+                    [batch, jnp.repeat(batch[-1:], pad, axis=0)], axis=0
+                )
+            if mesh is not None:
+                batch = jax.device_put(batch, frame_sharding(mesh))
+            yield s, valid, batch
+        return
     pid, pcount = _dist_info(mesh)
     if pcount > 1 and frames_array is None:
         yield from _host_batch_iter(
@@ -463,6 +486,7 @@ def run_datapoint_streaming(
     warm_start="fft",
     frame_batch: int = 8,
     compute_dtype: str = "float32",
+    stage_clock=None,
 ) -> DatapointOutputs:
     """Out-of-core datapoint processing for runs larger than host RAM.
 
@@ -512,7 +536,19 @@ def run_datapoint_streaming(
         )
     mesh = _resolve_mesh(mesh)
     start0 = 0
-    if frames_array is not None:
+    if callable(frames_array):
+        # device-resident ingest hook (see _batch_iter); the frame count
+        # must come from the config since there is no file to measure
+        if cfg.frames <= 0:
+            raise ValueError(
+                "a callable frame source requires cfg.frames > 0"
+            )
+        n_frames = cfg.frames
+        f0 = np.asarray(frames_array(0, 1))[0]
+        first_frames = [f0[c] for c in range(f0.shape[0])]
+        bit_depths = [12] * len(first_frames)
+        readers = None
+    elif frames_array is not None:
         frames_array, n_frames = _apply_frame_window(cfg, frames_array)
         first_frames = [frames_array[0, c] for c in range(frames_array.shape[1])]
         bit_depths = [12] * len(first_frames)
@@ -522,7 +558,12 @@ def run_datapoint_streaming(
         first_frames = [r.read_frame(start0) for r in readers]
         bit_depths = [r.bit_depth for r in readers]
 
+    if stage_clock is None:
+        from upsp_tpu.utils.timing import StageClock
+
+        stage_clock = StageClock()
     state = run_phase0(cfg, first_frames, bit_depths)
+    stage_clock.point("phase0")
     camset = _camera_settings(readers, cfg, state)
     n_nodes = state.model.size
     use_packed, packed_kw = _packed_ingest_config(readers, frames_array, device_unpack)
@@ -564,6 +605,7 @@ def run_datapoint_streaming(
         if readers:
             for r in readers:
                 r.close()
+    stage_clock.point("phase1_stream")
 
     nan_mask = np.isnan(ratio0_src)
     sol_avg = np.where(nan_mask, np.nan, sum_i / n_frames).astype(np.float32)
@@ -581,6 +623,7 @@ def run_datapoint_streaming(
         ffs.path("intensity"), ffs.path("intensity_transpose"),
         n_frames, n_nodes,
     )
+    stage_clock.point("disk_transpose")
 
     # phase 2 over node blocks
     cond = read_wtd(cfg.sds)
@@ -648,6 +691,7 @@ def run_datapoint_streaming(
         pwriter.close()
         if h5w is not None:
             h5w.close()
+    stage_clock.point("phase2_blocks")
 
     ffs.write_standard_outputs(
         state.model,
