@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from upsp_tpu.ops.pallas_ecc import (
+    ecc_gn_fused,
     ecc_gn_moments,
     ecc_statistics_from_moments,
     warp_affine_banded,
@@ -173,6 +174,59 @@ class TestMomentsKernel:
         assert area_shift == (H - 6) * (W - 4)
 
 
+class TestFusedGNStep:
+    """ecc_gn_fused == warp_affine_banded -> ecc_gn_moments (split kernels)."""
+
+    def test_matches_split_kernels(self, rng):
+        H, W = 96, 128
+        tmpl = jnp.asarray(make_test_image(rng, H, W))
+        img = jnp.asarray(make_test_image(rng, H, W))
+        warp = jnp.asarray(
+            np.array([[1.0004, -2e-4, 0.4], [3e-4, 0.9996, -0.9]], np.float32)
+        )
+        mom_split = ecc_gn_moments(
+            warp_affine_banded(img, warp), tmpl, warp, warp
+        )
+        mom_fused = ecc_gn_fused(img, tmpl, warp, warp)
+        s, f = np.asarray(mom_split[:42]), np.asarray(mom_fused[:42])
+        # identical math on identical f32 values, modulo reduction-order-free
+        # paths: the warped image is bitwise-equal (same per-row formulas),
+        # so statistics agree to f32 reduction noise
+        np.testing.assert_allclose(f, s, rtol=1e-5, atol=1e-3)
+
+    def test_mask_warp_composition(self, rng):
+        H, W = 64, 96
+        tmpl = jnp.asarray(make_test_image(rng, H, W))
+        img = jnp.asarray(make_test_image(rng, H, W))
+        warp = jnp.asarray(np.eye(2, 3, dtype=np.float32))
+        shifted = jnp.asarray(
+            np.array([[1.0, 0.0, 4.0], [0.0, 1.0, -6.0]], np.float32)
+        )
+        area = float(ecc_statistics_from_moments(
+            ecc_gn_fused(img, tmpl, warp, shifted))[-1])
+        assert area == (H - 6) * (W - 4)
+
+    def test_vmap_batches(self, rng):
+        H, W = 64, 128
+        tmpl = jnp.asarray(make_test_image(rng, H, W))
+        imgs = jnp.stack([jnp.asarray(make_test_image(rng, H, W))
+                          for _ in range(3)])
+        warps = jnp.stack([
+            jnp.asarray(np.array(
+                [[1.0 + 2e-4 * i, 1e-4, 0.3 * i], [-1e-4, 1.0, -0.2 * i]],
+                np.float32,
+            ))
+            for i in range(3)
+        ])
+        fused = np.asarray(
+            jax.vmap(lambda im, w: ecc_gn_fused(im, tmpl, w, w))(imgs, warps)
+        )
+        for i in range(3):
+            one = np.asarray(ecc_gn_fused(imgs[i], tmpl, warps[i], warps[i]))
+            np.testing.assert_allclose(fused[i, :42], one[:42],
+                                       rtol=1e-5, atol=1e-3)
+
+
 class TestEccPallasImpl:
     def _disp_diff(self, w1, w2, h, w):
         ys, xs = np.mgrid[8 : h - 8, 8 : w - 8]
@@ -201,6 +255,91 @@ class TestEccPallasImpl:
         img = jnp.asarray(make_test_image(rng))
         with pytest.raises(ValueError, match="band"):
             ecc_affine(img, img, max_iters=1, unroll=True, impl="pallas", band=8)
+
+
+class TestBlurKernel:
+    """make_blur == ops.image.gaussian_blur (reflect-101) to f32 rounding."""
+
+    def test_matches_gaussian_blur(self, rng):
+        from upsp_tpu.ops.image import gaussian_blur, gaussian_kernel_1d
+        from upsp_tpu.ops.pallas_ecc import make_blur
+
+        img = jnp.asarray(rng.normal(2000, 300, (96, 128)).astype(np.float32))
+        for ks in (3, 5):
+            taps = tuple(float(t) for t in gaussian_kernel_1d(ks))
+            out = np.asarray(make_blur(taps)(img))
+            ref = np.asarray(gaussian_blur(img, ks))
+            assert np.abs(out - ref).max() < 1e-3
+
+    def test_unbatched_under_vmap(self, rng):
+        """An unbatched template under a frame vmap is blurred once."""
+        from upsp_tpu.ops.image import gaussian_blur, gaussian_kernel_1d
+        from upsp_tpu.ops.pallas_ecc import make_blur
+
+        tmpl = jnp.asarray(rng.normal(2000, 300, (64, 128)).astype(np.float32))
+        frames = jnp.zeros((3, 64, 128), jnp.float32)
+        blur = make_blur(tuple(float(t) for t in gaussian_kernel_1d(5)))
+        outs = np.asarray(jax.vmap(lambda f: blur(tmpl) + 0.0 * f)(frames))
+        ref = np.asarray(gaussian_blur(tmpl, 5))
+        for i in range(3):
+            assert np.abs(outs[i] - ref).max() < 1e-3
+
+
+class TestPatchNodeCorrection:
+    """filter(patch(warped)) precomposed to affected-pixel values
+    (ops/patching.py build_patch_node_correction): exact against the
+    sequential apply_patches -> blur path at an identity warp (both sides
+    then see identical pixel values, so tolerance is f32 rounding only)."""
+
+    def _setup(self, rng, H=96, W=128):
+        from upsp_tpu.ops.patching import (
+            build_patch_clusters,
+            build_patch_operator,
+        )
+
+        dots = rng.uniform(20, 70, size=(5, 2))
+        diam = rng.uniform(4.0, 7.0, 5)
+        clusters = build_patch_clusters(dots, diam, (H, W), 3, 2)
+        op = build_patch_operator(clusters, (H, W))
+        img = jnp.asarray(make_test_image(rng, H, W))
+        return op, img
+
+    @pytest.mark.parametrize("ft,ks", [("gaussian", 3), ("box", 5), ("none", 1)])
+    def test_matches_sequential(self, rng, ft, ks):
+        from upsp_tpu.ops.image import box_blur, gaussian_blur
+        from upsp_tpu.ops.patching import (
+            apply_patches,
+            build_patch_node_correction,
+            patch_correction_values,
+        )
+
+        H, W = 96, 128
+        op, img = self._setup(rng, H, W)
+        corr = build_patch_node_correction(op, (H, W), ft, ks)
+        assert corr is not None
+        patched = apply_patches(img, op)
+        seq = {
+            "gaussian": lambda: gaussian_blur(patched, ks),
+            "box": lambda: box_blur(patched, ks),
+            "none": lambda: patched,
+        }[ft]()
+        vals = np.asarray(patch_correction_values(img, corr))
+        pix = np.asarray(corr.pix_idx)
+        seq_flat = np.asarray(seq).ravel()
+        for k in range(corr.n_clusters):
+            for a in range(pix.shape[1]):
+                if pix[k, a] == H * W:
+                    continue
+                assert abs(vals[k, a] - seq_flat[pix[k, a]]) < 0.05, (
+                    k, a, vals[k, a], seq_flat[pix[k, a]]
+                )
+
+    def test_unsupported_filter_falls_back(self, rng):
+        from upsp_tpu.ops.patching import build_patch_node_correction
+
+        op, _ = self._setup(rng)
+        assert build_patch_node_correction(op, (96, 128), "gaussian", 9) is None
+        assert build_patch_node_correction(op, (96, 128), "median", 3) is None
 
 
 class TestPreShiftPipeline:

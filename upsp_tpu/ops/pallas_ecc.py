@@ -66,7 +66,11 @@ from jax.experimental.pallas import tpu as pltpu
 # displacement stays within BAND - 1 px.  After integer pre-shifting the
 # fft translation estimate, residuals are a sub-pixel init + a few px of
 # GN updates — 4 leaves >2 px of headroom at half the VPU cost of 8.
-DEFAULT_BAND = 4
+# UPSP_PALLAS_BAND overrides for A/B measurement (tap count is the warp
+# kernels' dominant VPU cost; 3 keeps 2 px of headroom at 7/9 the taps).
+import os as _os
+
+DEFAULT_BAND = int(_os.environ.get("UPSP_PALLAS_BAND", "4"))
 _ROW_CHUNK = 256
 
 
@@ -300,6 +304,173 @@ def _warp_banded_vmap(axis_size, in_batched, img, warp):
 
 
 # ---------------------------------------------------------------------------
+# Fused tail: final output warp + separable smoothing filter in one kernel
+
+
+def _warp_filter_kernel(scal_ref, img_ref, out_ref, warped_ref=None, *, band,
+                        h, w, taps, out_dtype):
+    """blur_k(warp_order2(img)) per row chunk, one HBM read + one write.
+
+    The warped image (cv2 BORDER_CONSTANT zero outside) is smoothed with the
+    separable ``taps`` filter under reflect-101 borders (cv2.GaussianBlur /
+    cv2.blur parity, ops/image.py) — the tail of the per-frame program
+    (psp_process.cpp:1797-1805 order: register -> [patch] -> filter) without
+    materializing the intermediate warped image in HBM.  Vertical pass from a
+    row halo, horizontal pass via static rolls with per-edge reflect
+    corrections.
+    """
+    b = pl.program_id(0)
+    scal = [scal_ref[b, k] for k in range(6)]
+    ksize = len(taps)
+    r = ksize // 2
+    for r0, n in _row_chunks(h, _ROW_CHUNK):
+        # warped rows [r0-r, r0+n+r): separable block with a +-1 Taylor halo
+        lo = max(0, r0 - r - 1)
+        hi = min(h, r0 + n + r + 1)
+        ext = _sep_rows_block(img_ref, scal, lo, hi - lo, band, h, w)
+        if lo > r0 - r - 1:
+            ext = jnp.concatenate(
+                [jnp.zeros((lo - (r0 - r - 1), w), jnp.float32), ext], axis=0
+            )
+        if hi < r0 + n + r + 1:
+            ext = jnp.concatenate(
+                [ext, jnp.zeros((r0 + n + r + 1 - hi, w), jnp.float32)],
+                axis=0,
+            )
+        iw_ext = _taylor_correct(ext, scal, r0 - r, n + 2 * r, h, w)
+        if warped_ref is not None:
+            # pre-filter warped rows (already resident): the patch-correction
+            # path samples boundary pixels from THIS image at static indices
+            # (apply_patches semantics) — a dynamic-position bilinear sample
+            # instead measured ~109 us/frame of scalar gathers at 1 MP
+            warped_ref[0, r0 : r0 + n, :] = iw_ext[r : r + n, :].astype(
+                out_dtype
+            )
+        # reflect-101 vertical halo at the image edges: global row -j mirrors
+        # row j, row h-1+j mirrors row h-1-j (static row swaps; out-of-image
+        # rows were zero/garbage from the warp halo and must not leak into
+        # the blur)
+        if r0 == 0:
+            pieces = [iw_ext[r + j : r + j + 1] for j in range(r, 0, -1)]
+            iw_ext = jnp.concatenate(pieces + [iw_ext[r:]], axis=0)
+        if r0 + n == h:
+            top = n - 1 + r  # local index of global row h-1 when r0+n == h
+            pieces = [iw_ext[top - j : top - j + 1] for j in range(1, r + 1)]
+            iw_ext = jnp.concatenate([iw_ext[: top + 1]] + pieces, axis=0)
+
+        # vertical pass
+        bv = jnp.zeros((n, w), jnp.float32)
+        for j in range(ksize):
+            bv = bv + float(taps[j]) * iw_ext[j : j + n, :]
+        # horizontal pass: base shifted sums (zero beyond edges) ...
+        out = jnp.zeros((n, w), jnp.float32)
+        for j in range(ksize):
+            out = out + float(taps[j]) * _shift_cols(bv, j - r, w)
+        # ... plus reflect-101 corrections at the first/last r columns
+        xs = _iota_row(w)
+        for d in range(1, r + 1):
+            for x in range(d):
+                # left: tap at column x+(-d) < 0 reflects to column d-x
+                off = d - 2 * x  # (d - x) - x
+                m = (xs == float(x)).astype(jnp.float32)
+                out = out + float(taps[r - d]) * m * _shift_cols(bv, off, w)
+                # right: tap at column (w-1-x)+d >= w reflects to w-1-d+x
+                off2 = 2 * x - d
+                m2 = (xs == float(w - 1 - x)).astype(jnp.float32)
+                out = out + float(taps[r + d]) * m2 * _shift_cols(bv, off2, w)
+        out_ref[0, r0 : r0 + n, :] = out.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("taps", "with_warped", "interpret")
+)
+def _warp_filter_batched(imgs, warps, taps, with_warped, interpret):
+    b, h, w = imgs.shape
+    kern = functools.partial(
+        _warp_filter_kernel, band=DEFAULT_BAND, h=h, w=w, taps=taps,
+        out_dtype=imgs.dtype,
+    )
+    img_spec = pl.BlockSpec(
+        (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((b, h, w), imgs.dtype)
+    return pl.pallas_call(
+        kern,
+        out_shape=(out_shape, out_shape) if with_warped else out_shape,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), img_spec],
+        out_specs=(img_spec, img_spec) if with_warped else img_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(_warp_scalars(warps), imgs)
+
+
+def filter_taps(filter_type: str, ksize: int):
+    """Static separable tap tuple for the tail kernel (None = unsupported)."""
+    if filter_type == "gaussian":
+        from upsp_tpu.ops.image import gaussian_kernel_1d
+
+        if ksize > 7:  # keep the static roll/correction count bounded
+            return None
+        return tuple(float(t) for t in gaussian_kernel_1d(ksize))
+    if filter_type == "box":
+        if ksize > 7:
+            return None
+        return tuple(1.0 / ksize for _ in range(ksize))
+    if filter_type == "none":
+        return ()
+    return None
+
+
+class _WarpFilterVmap:
+    """vmap-able wrapper binding the static taps (custom_vmap needs a fixed
+    positional signature, so the taps ride on the instance).
+
+    ``with_warped=True`` also returns the pre-filter warped image (second
+    output) for the static-index patch-correction sampling.
+    """
+
+    def __init__(self, taps, with_warped: bool = False):
+        self.taps = taps
+        self.with_warped = with_warped
+        fn = jax.custom_batching.custom_vmap(self._call)
+        fn.def_vmap(self._vmap)
+        self._fn = fn
+
+    def _run(self, imgs, warps):
+        return _warp_filter_batched(
+            imgs, warps, self.taps, self.with_warped, _use_interpret()
+        )
+
+    def _call(self, img, warp):
+        out = self._run(img[None], warp[None])
+        return jax.tree.map(lambda a: a[0], out)
+
+    def _vmap(self, axis_size, in_batched, img, warp):
+        img_b, warp_b = in_batched
+        if not img_b:
+            img = jnp.broadcast_to(img, (axis_size,) + img.shape)
+        if not warp_b:
+            warp = jnp.broadcast_to(warp, (axis_size,) + warp.shape)
+        out = self._run(img, warp)
+        return out, jax.tree.map(lambda a: True, out)
+
+    def __call__(self, img, warp):
+        if not self.taps:
+            iw = warp_affine_banded(img, warp)
+            return (iw, iw) if self.with_warped else iw
+        return self._fn(img, warp)
+
+
+@functools.lru_cache(maxsize=None)
+def make_warp_filter(taps, with_warped: bool = False) -> _WarpFilterVmap:
+    """Cached vmap-able (img, warp) -> filtered-warped callable for ``taps``."""
+    return _WarpFilterVmap(taps, with_warped)
+
+
+# ---------------------------------------------------------------------------
 # Fused GN statistics
 
 
@@ -323,25 +494,20 @@ def _moments_kernel(scal_ref, iw_ref, tmpl_ref, out_ref, *, h, w, chunk):
     kshift = scal_ref[b, 12]
 
     cy = (h - 1) * 0.5
-    cx = (w - 1) * 0.5
     xs = _iota_row(w)  # (1, w)
     x_sep_m = ms[0] * xs + ms[2] + ms[1] * cy
     mx = ((x_sep_m >= 0.0) & (x_sep_m <= w - 1.0)).astype(jnp.float32)
     xs2 = xs * xs
+    emask = ((xs > 0.5) & (xs < w - 1.5)).astype(jnp.float32)
 
     acc = []  # per-chunk lists of 27 (n, 1) row partials
     for r0, n in _row_chunks(h, chunk):
         gi = _iota_col(n, float(r0))  # (n, 1)
-        y_sep_m = ms[4] * gi + ms[5] + ms[3] * cx
-        my = ((y_sep_m >= 0.0) & (y_sep_m <= h - 1.0)).astype(jnp.float32)
+        gmask = ((gi > 0.5) & (gi < h - 1.5)).astype(jnp.float32)
 
         iw = iw_ref[0, r0 : r0 + n, :].astype(jnp.float32) - kshift
         tm = tmpl_ref[r0 : r0 + n, :].astype(jnp.float32) - kshift
 
-        emask = ((xs > 0.5) & (xs < w - 1.5)).astype(jnp.float32)
-        gix = (
-            0.5 * (_shift_cols(iw, 1, w) - _shift_cols(iw, -1, w)) * emask
-        )
         up = iw_ref[0, max(0, r0 - 1) : r0 + n - 1, :].astype(jnp.float32)
         down = iw_ref[0, r0 + 1 : min(h, r0 + n + 1), :].astype(jnp.float32)
         if r0 == 0:
@@ -350,71 +516,14 @@ def _moments_kernel(scal_ref, iw_ref, tmpl_ref, out_ref, *, h, w, chunk):
             down = jnp.concatenate(
                 [down, jnp.zeros((1, w), jnp.float32)], axis=0
             )
-        giy = 0.5 * (down - up)
-        gmask = ((gi > 0.5) & (gi < h - 1.5)).astype(jnp.float32)
-        giy = giy * gmask
+        acc.append(
+            _moment_partials(
+                iw, up, down, tm, gi, xs, xs2, emask, gmask, mx, ms, h, w,
+                inv_det, a00, a01, a10, a11,
+            )
+        )
 
-        m = my * mx  # (n, w) via broadcast
-        gx = (a11 * gix - a10 * giy) * inv_det * m
-        gy = (-a01 * gix + a00 * giy) * inv_det * m
-
-        # ONLY lane reductions per chunk: 27 (n, 1) row partials.  The
-        # cross-row contraction happens once after the loop — a scalar
-        # accumulator per statistic per chunk builds scalar dependency
-        # chains that Mosaic takes >10 minutes to compile.
-        part = []
-        # 9: fields gxx, gxy, gyy against lanes {1, x, x^2}
-        for f in (gx * gx, gx * gy, gy * gy):
-            part.append(jnp.sum(f, axis=1, keepdims=True))
-            part.append(jnp.sum(f * xs, axis=1, keepdims=True))
-            part.append(jnp.sum(f * xs2, axis=1, keepdims=True))
-        # 12: projections for z in (tmpl, iw, 1) against lanes {1, x}
-        for z in (tm, iw, None):
-            gxz = gx if z is None else gx * z
-            gyz = gy if z is None else gy * z
-            part.append(jnp.sum(gxz, axis=1, keepdims=True))
-            part.append(jnp.sum(gxz * xs, axis=1, keepdims=True))
-            part.append(jnp.sum(gyz, axis=1, keepdims=True))
-            part.append(jnp.sum(gyz * xs, axis=1, keepdims=True))
-        # 6: masked scalar sums
-        tmm = tm * m
-        iwm = iw * m
-        for f in (m, tmm, iwm, tmm * tm, iwm * iw, tmm * iw):
-            part.append(jnp.sum(f, axis=1, keepdims=True))
-        acc.append(part)
-
-    # concat chunk partials to (h, 1) vectors, contract once against rows
-    full = [
-        jnp.concatenate([chunkpart[k] for chunkpart in acc], axis=0)
-        for k in range(27)
-    ]
-    ys = _iota_col(h)
-    ys2 = ys * ys
-    vals = []
-    for q in range(3):  # Hessian moments: [xx, xy, yy, x, y, 1]
-        h0, h1, h2 = full[3 * q], full[3 * q + 1], full[3 * q + 2]
-        vals += [
-            jnp.sum(h2), jnp.sum(h1 * ys), jnp.sum(h0 * ys2),
-            jnp.sum(h1), jnp.sum(h0 * ys), jnp.sum(h0),
-        ]
-    for zi in range(3):  # projections: [gx x, gy x, gx y, gy y, gx, gy] . z
-        p0x, p1x, p0y, p1y = full[9 + 4 * zi : 9 + 4 * zi + 4]
-        vals += [
-            jnp.sum(p1x), jnp.sum(p1y), jnp.sum(p0x * ys),
-            jnp.sum(p0y * ys), jnp.sum(p0x), jnp.sum(p0y),
-        ]
-    for k in range(21, 27):  # area, S_t, S_i, S_tt, S_ii, S_ti
-        vals.append(jnp.sum(full[k]))
-
-    row = jnp.concatenate(
-        [jnp.stack(vals).reshape(1, 42), jnp.zeros((1, 86), jnp.float32)],
-        axis=1,
-    )
-    # (1, 8, 128) output block: a (1, 128) row block violates the TPU
-    # (8, 128)-tile divisibility rule, so the stats ride in sublane 0
-    out_ref[0, :, :] = jnp.concatenate(
-        [row, jnp.zeros((7, 128), jnp.float32)], axis=0
-    )
+    out_ref[0, :, :] = _contract_rows(acc, h)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -483,6 +592,338 @@ def _moments_vmap(axis_size, in_batched, iw, tmpl, warp, mask_warp):
          jnp.zeros((b, 3), jnp.float32)], axis=1
     )
     return _moments_batched(iw, tmpl, scal, _use_interpret())[:, 0, :], True
+
+
+# ---------------------------------------------------------------------------
+# Plain separable blur (no warp): the ECC pre-blur as ONE HBM pass
+
+
+def _blur_kernel(img_ref, out_ref, *, h, w, taps, out_dtype):
+    """Separable reflect-101 blur, whole image resident, one read + write.
+
+    XLA lowers ``gaussian_blur`` to two full HBM passes (pad/concat + two
+    1-D convolutions, ~30 us/frame measured at 1 MP); here both passes stay
+    in VMEM per row chunk.
+    """
+    ksize = len(taps)
+    r = ksize // 2
+    for r0, n in _row_chunks(h, _ROW_CHUNK):
+        # rows [r0-r, r0+n+r) with reflect-101 at the image edges
+        rows = []
+        for g in range(r0 - r, r0 + n + r):
+            gg = -g if g < 0 else (2 * (h - 1) - g if g >= h else g)
+            rows.append((g, gg))
+        # contiguous interior block + small mirrored strips at the edges
+        lo = max(0, r0 - r)
+        hi = min(h, r0 + n + r)
+        blk = img_ref[0, lo:hi, :].astype(jnp.float32)
+        pre = [
+            img_ref[0, gg : gg + 1, :].astype(jnp.float32)
+            for g, gg in rows
+            if g < 0
+        ]
+        post = [
+            img_ref[0, gg : gg + 1, :].astype(jnp.float32)
+            for g, gg in rows
+            if g >= h
+        ]
+        ext = jnp.concatenate(pre + [blk] + post, axis=0) if (pre or post) else blk
+
+        bv = jnp.zeros((n, w), jnp.float32)
+        for j in range(ksize):
+            bv = bv + float(taps[j]) * ext[j : j + n, :]
+        out = jnp.zeros((n, w), jnp.float32)
+        for j in range(ksize):
+            out = out + float(taps[j]) * _shift_cols(bv, j - r, w)
+        xs = _iota_row(w)
+        for d in range(1, r + 1):
+            for x in range(d):
+                off = d - 2 * x
+                m = (xs == float(x)).astype(jnp.float32)
+                out = out + float(taps[r - d]) * m * _shift_cols(bv, off, w)
+                off2 = 2 * x - d
+                m2 = (xs == float(w - 1 - x)).astype(jnp.float32)
+                out = out + float(taps[r + d]) * m2 * _shift_cols(bv, off2, w)
+        out_ref[0, r0 : r0 + n, :] = out.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "interpret"))
+def _blur_batched(imgs, taps, interpret):
+    b, h, w = imgs.shape
+    kern = functools.partial(
+        _blur_kernel, h=h, w=w, taps=taps, out_dtype=imgs.dtype
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), imgs.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(imgs)
+
+
+class _BlurVmap:
+    """vmap-able gaussian/box blur kernel bound to static taps."""
+
+    def __init__(self, taps):
+        self.taps = taps
+        fn = jax.custom_batching.custom_vmap(self._call)
+        fn.def_vmap(self._vmap)
+        self._fn = fn
+
+    def _call(self, img):
+        return _blur_batched(img[None], self.taps, _use_interpret())[0]
+
+    def _vmap(self, axis_size, in_batched, img):
+        if not in_batched[0]:
+            # unbatched input (e.g. the ECC template under a frame vmap):
+            # blur ONCE and broadcast the result, not the work
+            out = _blur_batched(img[None], self.taps, _use_interpret())[0]
+            return jnp.broadcast_to(out, (axis_size,) + out.shape), True
+        return _blur_batched(img, self.taps, _use_interpret()), True
+
+    def __call__(self, img):
+        if not self.taps:
+            return img
+        return self._fn(img)
+
+
+@functools.lru_cache(maxsize=None)
+def make_blur(taps) -> _BlurVmap:
+    """Cached vmap-able blur callable for the static ``taps`` tuple."""
+    return _BlurVmap(taps)
+
+
+# ---------------------------------------------------------------------------
+# Fused GN step: warp + gradients + statistics in ONE pass over (img, tmpl)
+
+
+def _moment_partials(iw, up, down, tm, gi, xs, xs2, emask, gmask,
+                     mx, ms, h, w, inv_det, a00, a01, a10, a11):
+    """The 27 (n, 1) row partials of the GN statistics for one row chunk.
+
+    ``iw``/``tm`` are brightness-shifted fields; ``up``/``down`` are the
+    unshifted warped rows one above/below (the constant cancels in the
+    central difference).  Shared by the standalone moments kernel and the
+    fused GN-step kernel.
+    """
+    cx = (w - 1) * 0.5
+    y_sep_m = ms[4] * gi + ms[5] + ms[3] * cx
+    my = ((y_sep_m >= 0.0) & (y_sep_m <= h - 1.0)).astype(jnp.float32)
+
+    gix = 0.5 * (_shift_cols(iw, 1, w) - _shift_cols(iw, -1, w)) * emask
+    giy = 0.5 * (down - up) * gmask
+
+    m = my * mx  # (n, w) via broadcast
+    gx = (a11 * gix - a10 * giy) * inv_det * m
+    gy = (-a01 * gix + a00 * giy) * inv_det * m
+
+    # ONLY lane reductions per chunk: 27 (n, 1) row partials.  The
+    # cross-row contraction happens once after the loop — a scalar
+    # accumulator per statistic per chunk builds scalar dependency
+    # chains that Mosaic takes >10 minutes to compile.
+    part = []
+    # 9: fields gxx, gxy, gyy against lanes {1, x, x^2}
+    for f in (gx * gx, gx * gy, gy * gy):
+        part.append(jnp.sum(f, axis=1, keepdims=True))
+        part.append(jnp.sum(f * xs, axis=1, keepdims=True))
+        part.append(jnp.sum(f * xs2, axis=1, keepdims=True))
+    # 12: projections for z in (tmpl, iw, 1) against lanes {1, x}
+    for z in (tm, iw, None):
+        gxz = gx if z is None else gx * z
+        gyz = gy if z is None else gy * z
+        part.append(jnp.sum(gxz, axis=1, keepdims=True))
+        part.append(jnp.sum(gxz * xs, axis=1, keepdims=True))
+        part.append(jnp.sum(gyz, axis=1, keepdims=True))
+        part.append(jnp.sum(gyz * xs, axis=1, keepdims=True))
+    # 6: masked scalar sums
+    tmm = tm * m
+    iwm = iw * m
+    for f in (m, tmm, iwm, tmm * tm, iwm * iw, tmm * iw):
+        part.append(jnp.sum(f, axis=1, keepdims=True))
+    return part
+
+
+def _contract_rows(acc, h):
+    """27 lists of per-chunk (n, 1) partials -> (1, 8, 128) stats block."""
+    full = [
+        jnp.concatenate([chunkpart[k] for chunkpart in acc], axis=0)
+        for k in range(27)
+    ]
+    ys = _iota_col(h)
+    ys2 = ys * ys
+    vals = []
+    for q in range(3):  # Hessian moments: [xx, xy, yy, x, y, 1]
+        h0, h1, h2 = full[3 * q], full[3 * q + 1], full[3 * q + 2]
+        vals += [
+            jnp.sum(h2), jnp.sum(h1 * ys), jnp.sum(h0 * ys2),
+            jnp.sum(h1), jnp.sum(h0 * ys), jnp.sum(h0),
+        ]
+    for zi in range(3):  # projections: [gx x, gy x, gx y, gy y, gx, gy] . z
+        p0x, p1x, p0y, p1y = full[9 + 4 * zi : 9 + 4 * zi + 4]
+        vals += [
+            jnp.sum(p1x), jnp.sum(p1y), jnp.sum(p0x * ys),
+            jnp.sum(p0y * ys), jnp.sum(p0x), jnp.sum(p0y),
+        ]
+    for k in range(21, 27):  # area, S_t, S_i, S_tt, S_ii, S_ti
+        vals.append(jnp.sum(full[k]))
+
+    row = jnp.concatenate(
+        [jnp.stack(vals).reshape(1, 42), jnp.zeros((1, 86), jnp.float32)],
+        axis=1,
+    )
+    # (1, 8, 128) output block: a (1, 128) row block violates the TPU
+    # (8, 128)-tile divisibility rule, so the stats ride in sublane 0
+    return jnp.concatenate([row, jnp.zeros((7, 128), jnp.float32)], axis=0)
+
+
+def _gn_fused_kernel(scal_ref, img_ref, tmpl_ref, out_ref, *, band, h, w,
+                     chunk):
+    """One GN step's complete statistics straight from the UNWARPED image.
+
+    Per row chunk: banded order-2 warp of rows [r0-1, r0+n+1) (the +-1 halo
+    feeds the row gradient), then the same 27 row partials as
+    ``_moments_kernel`` — the warped image never exists outside VMEM, saving
+    the standalone warp kernel's HBM write plus the moments kernel's reload
+    (8 MB/frame/step at 1 MP) and one kernel launch per step.
+
+    MEASURED SLOWER than the split warp+moments pair on this chip (75 vs 69
+    us/step at 1 MP, device profile 2026-08-20): the combined body's VMEM/
+    register pressure costs more ILP than the saved HBM round-trip buys.
+    Kept (tested, bitwise-equal to the split pair) as the documented
+    measured-and-rejected variant; production uses the split kernels
+    (registration.py body_pallas).
+    """
+    b = pl.program_id(0)
+    scal = [scal_ref[b, k] for k in range(6)]
+    a00, a01 = scal[0], scal[1]
+    a10, a11 = scal[3], scal[4]
+    inv_det = 1.0 / (a00 * a11 - a01 * a10)
+    ms = [scal_ref[b, 6 + k] for k in range(6)]
+    kshift = scal_ref[b, 12]
+
+    cy = (h - 1) * 0.5
+    xs = _iota_row(w)  # (1, w)
+    x_sep_m = ms[0] * xs + ms[2] + ms[1] * cy
+    mx = ((x_sep_m >= 0.0) & (x_sep_m <= w - 1.0)).astype(jnp.float32)
+    xs2 = xs * xs
+    emask = ((xs > 0.5) & (xs < w - 1.5)).astype(jnp.float32)
+
+    acc = []
+    for r0, n in _row_chunks(h, chunk):
+        # warped rows [r0-1, r0+n+1): separable block [r0-2, r0+n+2) with
+        # zero rows where the halo leaves the image (matching the
+        # BORDER_CONSTANT convention), then the order-2 Taylor correction
+        lo = max(0, r0 - 2)
+        hi = min(h, r0 + n + 2)
+        ext = _sep_rows_block(img_ref, scal, lo, hi - lo, band, h, w)
+        if lo > r0 - 2:
+            ext = jnp.concatenate(
+                [jnp.zeros((lo - (r0 - 2), w), jnp.float32), ext], axis=0
+            )
+        if hi < r0 + n + 2:
+            ext = jnp.concatenate(
+                [ext, jnp.zeros((r0 + n + 2 - hi, w), jnp.float32)], axis=0
+            )
+        iw_ext = _taylor_correct(ext, scal, r0 - 1, n + 2, h, w)
+        # rows -1 / h of the halo are out of image: zero them explicitly
+        # (the moments kernel's zero-pad convention; gmask kills their giy
+        # contribution anyway, this keeps the central difference identical)
+        if r0 == 0:
+            iw_ext = jnp.concatenate(
+                [jnp.zeros((1, w), jnp.float32), iw_ext[1:]], axis=0
+            )
+        if r0 + n == h:
+            iw_ext = jnp.concatenate(
+                [iw_ext[:-1], jnp.zeros((1, w), jnp.float32)], axis=0
+            )
+
+        gi = _iota_col(n, float(r0))  # (n, 1)
+        gmask = ((gi > 0.5) & (gi < h - 1.5)).astype(jnp.float32)
+        iw = iw_ext[1:-1, :] - kshift
+        tm = tmpl_ref[r0 : r0 + n, :].astype(jnp.float32) - kshift
+        acc.append(
+            _moment_partials(
+                iw, iw_ext[:-2, :], iw_ext[2:, :], tm, gi, xs, xs2, emask,
+                gmask, mx, ms, h, w, inv_det, a00, a01, a10, a11,
+            )
+        )
+
+    out_ref[0, :, :] = _contract_rows(acc, h)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _gn_fused_batched(imgs, tmpl, scal, interpret):
+    b, h, w = imgs.shape
+    kern = functools.partial(
+        _gn_fused_kernel, band=DEFAULT_BAND, h=h, w=w, chunk=_ROW_CHUNK
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(scal, imgs, tmpl)
+
+
+def _gn_scal(warp, mask_warp, kshift_row):
+    return jnp.concatenate(
+        [_warp_scalars(warp), _warp_scalars(mask_warp), kshift_row,
+         jnp.zeros((kshift_row.shape[0], 3), jnp.float32)], axis=1
+    )
+
+
+@jax.custom_batching.custom_vmap
+def ecc_gn_fused(img: jax.Array, tmpl: jax.Array, warp: jax.Array,
+                 mask_warp: jax.Array) -> jax.Array:
+    """Fused GN step: ``ecc_gn_moments(warp_affine_banded(img, warp), ...)``
+    in one kernel — same (128,) raw-statistics layout, the warped image
+    stays VMEM-resident.  ``img`` is the UNWARPED (blurred) input."""
+    kshift = jnp.mean(tmpl).astype(jnp.float32).reshape(1, 1)
+    scal = _gn_scal(warp[None], mask_warp[None], kshift)
+    return _gn_fused_batched(img[None], tmpl, scal, _use_interpret())[0, 0]
+
+
+@ecc_gn_fused.def_vmap
+def _gn_fused_vmap(axis_size, in_batched, img, tmpl, warp, mask_warp):
+    img_b, tmpl_b, warp_b, mask_b = in_batched
+    if tmpl_b:
+        raise NotImplementedError("batched templates unsupported")
+    if not img_b:
+        img = jnp.broadcast_to(img, (axis_size,) + img.shape)
+    if not warp_b:
+        warp = jnp.broadcast_to(warp, (axis_size,) + warp.shape)
+    if not mask_b:
+        mask_warp = jnp.broadcast_to(mask_warp, (axis_size,) + mask_warp.shape)
+    b = img.shape[0]
+    kshift = jnp.broadcast_to(
+        jnp.mean(tmpl).astype(jnp.float32).reshape(1, 1), (b, 1)
+    )
+    scal = _gn_scal(warp, mask_warp, kshift)
+    return _gn_fused_batched(img, tmpl, scal, _use_interpret())[:, 0, :], True
 
 
 def ecc_statistics_from_moments(mom: jax.Array):

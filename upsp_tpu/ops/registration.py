@@ -259,13 +259,23 @@ def _ecc_core(
         if (ref.dtype == jnp.bfloat16 or inp.dtype == jnp.bfloat16)
         else dtype
     )
-    tmpl = gaussian_blur(ref.astype(im_dtype), gauss_size)
     # NOTE a blur-free variant that composes the Gaussian into each
     # iteration's warp tents (ops/warp.py pre_blur — exact by associativity)
     # measured NEUTRAL on chip: the per-iteration (H,H)@(H,H) compose traffic
     # eats the two saved blur passes (BENCH_NOTES.md round 2).  The explicit
-    # once-per-solve blur stays.
-    img = gaussian_blur(inp.astype(im_dtype), gauss_size)
+    # once-per-solve blur stays — as ONE VMEM-resident Pallas pass on the
+    # kernel path (XLA's lowering costs ~30 us/frame at 1 MP in two HBM
+    # passes; ops/pallas_ecc.py make_blur).
+    if impl == "pallas":
+        from upsp_tpu.ops.image import gaussian_kernel_1d
+        from upsp_tpu.ops.pallas_ecc import make_blur
+
+        _blur = make_blur(tuple(float(t) for t in gaussian_kernel_1d(gauss_size)))
+        tmpl = _blur(ref.astype(im_dtype))
+        img = _blur(inp.astype(im_dtype))
+    else:
+        tmpl = gaussian_blur(ref.astype(im_dtype), gauss_size)
+        img = gaussian_blur(inp.astype(im_dtype), gauss_size)
 
     H, W = tmpl.shape
     ys, xs = jnp.meshgrid(
@@ -273,9 +283,14 @@ def _ecc_core(
     )
 
     def body_pallas(state):
-        """Fused-kernel GN step (ops/pallas_ecc.py): one HBM pass for the
-        banded warp, one for all statistics; algebra identical to ``body``
-        up to f32 rounding (zero-mean expansion with a brightness shift)."""
+        """Split-kernel GN step (ops/pallas_ecc.py): one banded-warp pass,
+        one statistics pass; algebra identical to ``body`` up to f32
+        rounding (zero-mean expansion with a brightness shift).
+
+        A single-kernel variant (``ecc_gn_fused``) that never materializes
+        the warped image MEASURED SLOWER on chip (75 vs 69 us/step at 1 MP
+        — the bigger body loses more to Mosaic scheduling pressure than the
+        8 MB/step HBM round-trip costs), so the split pair stays."""
         from upsp_tpu.ops.pallas_ecc import (
             ecc_gn_moments,
             ecc_statistics_from_moments,

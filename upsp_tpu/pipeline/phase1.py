@@ -46,6 +46,12 @@ class Phase1Params(NamedTuple):
     # so this is a (C-1)/C cut of projection time)
     combined_index: Optional[jax.Array] = None  # (N,) int32 into (C*H*W,)
     combined_weight: Optional[jax.Array] = None  # (N,) float32
+    # fused-tail patch corrections (ops/patching.py): per camera, the
+    # patch+filter effect precomposed to the node level so the Pallas
+    # warp+filter kernel can skip patching — see PatchNodeCorrection
+    patch_corr: Tuple = ()  # per camera: PatchNodeCorrection | None
+    # per camera: (node_idx, value_slot, weight) overlay arrays | None
+    corr_nodes: Tuple = ()
 
 
 def phase1_params(state) -> Phase1Params:
@@ -64,6 +70,47 @@ def phase1_params(state) -> Phase1Params:
                 (best * H * W + idx[best, n]).astype(np.int32)
             )
             combined_weight = jnp.asarray(w[best, n].astype(np.float32))
+
+    # fused-tail corrections: only meaningful on the combined-gather path
+    patch_corr: list = []
+    corr_nodes: list = []
+    if combined_index is not None and any(
+        op is not None for op in state.patch_ops
+    ):
+        from upsp_tpu.ops.patching import build_patch_node_correction
+
+        cfg = state.config
+        H, W = state.image_hw
+        HW = H * W
+        stacked = np.asarray(combined_index)
+        wgt = np.asarray(combined_weight)
+        best = stacked // HW
+        pixel = stacked % HW
+        for c, op in enumerate(state.patch_ops):
+            corr = build_patch_node_correction(
+                op, state.image_hw, cfg.filter, cfg.filter_size
+            )
+            if corr is None:
+                patch_corr.append(None)
+                corr_nodes.append(None)
+                continue
+            pixn = np.asarray(corr.pix_idx)
+            K, A_max = pixn.shape
+            slot_arr = np.full(HW + 1, -1, np.int64)
+            valid = pixn != HW
+            slot_arr[pixn[valid]] = (
+                np.arange(K)[:, None] * A_max + np.arange(A_max)[None, :]
+            )[valid]
+            mine = (best == c) & (wgt > 0) & (slot_arr[pixel] >= 0)
+            ni = np.nonzero(mine)[0]
+            patch_corr.append(corr)
+            corr_nodes.append(
+                (
+                    jnp.asarray(ni, jnp.int32),
+                    jnp.asarray(slot_arr[pixel[ni]], jnp.int32),
+                    jnp.asarray(wgt[ni], jnp.float32),
+                )
+            )
     return Phase1Params(
         projections=projections,
         skipped=state.skipped,
@@ -72,6 +119,8 @@ def phase1_params(state) -> Phase1Params:
         superseded_by=state.superseded_by,
         combined_index=combined_index,
         combined_weight=combined_weight,
+        patch_corr=tuple(patch_corr),
+        corr_nodes=tuple(corr_nodes),
     )
 
 
@@ -129,13 +178,29 @@ def _process_frame_core(
         and ecc_band is None
         and jax.default_backend() == "tpu"
     )
+    # fused-tail eligibility: final warp + filter in ONE Pallas kernel with
+    # patches precomposed to node overlays (ops/patching.py) — combined-
+    # gather path only (nodes see one camera), fixed-iteration pallas mode
+    tail_taps = None
+    if (
+        use_pallas
+        and registration == "pixel"
+        and interpolation != "nearest"
+        and params.combined_index is not None
+    ):
+        from upsp_tpu.ops.pallas_ecc import filter_taps
+
+        tail_taps = filter_taps(filter_type, filter_size)
+
     sol = None
     warps = []
     telemetry = []
     processed = []
+    overlays = []  # (camera, (K, A_max) corrected node-source values)
     for c in range(n_cams):
         img = fix_hot_pixels(frames[c]) if fix_hot else frames[c]
         img = img.astype(compute_dtype)
+        tail_done = False
         if registration == "pixel":
             init_c = None if warp_init is None else warp_init[c]
             ecc_kw = (
@@ -171,17 +236,43 @@ def _process_frame_core(
             if interpolation == "nearest":
                 img = warp_affine(img, warp, interpolation="nearest")
             elif use_pallas:
-                from upsp_tpu.ops.pallas_ecc import warp_affine_banded
+                corr = (
+                    params.patch_corr[c] if c < len(params.patch_corr) else None
+                )
+                nodes = (
+                    params.corr_nodes[c] if c < len(params.corr_nodes) else None
+                )
+                need_patch = patch and params.patch_ops[c] is not None
+                if tail_taps is not None and (
+                    not need_patch or (corr is not None and nodes is not None)
+                ):
+                    from upsp_tpu.ops.pallas_ecc import make_warp_filter
 
-                img = warp_affine_banded(img, warp)
+                    if need_patch:
+                        from upsp_tpu.ops.patching import (
+                            patch_correction_values,
+                        )
+
+                        img, iw = make_warp_filter(tail_taps, True)(img, warp)
+                        overlays.append(
+                            (c, patch_correction_values(iw, corr))
+                        )
+                    else:
+                        img = make_warp_filter(tail_taps)(img, warp)
+                    tail_done = True
+                else:
+                    from upsp_tpu.ops.pallas_ecc import warp_affine_banded
+
+                    img = warp_affine_banded(img, warp)
             else:
                 img = warp_affine_mxu(img, warp, band=ecc_band)
         else:
             telemetry.append(jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32))
             warps.append(identity_warp())
-        if patch and params.patch_ops[c] is not None:
-            img = apply_patches(img, params.patch_ops[c])
-        img = apply_filter(img, filter_type, filter_size)
+        if not tail_done:
+            if patch and params.patch_ops[c] is not None:
+                img = apply_patches(img, params.patch_ops[c])
+            img = apply_filter(img, filter_type, filter_size)
         if params.combined_index is not None:
             processed.append(img)
         else:
@@ -190,6 +281,12 @@ def _process_frame_core(
     if params.combined_index is not None:
         stacked = jnp.stack(processed).reshape(-1)  # (C*H*W,)
         sol = stacked[params.combined_index] * params.combined_weight
+        for c, vals in overlays:
+            # fused-tail patch overlay: the kernel image skipped patching;
+            # the handful of nodes gathering within filter-radius of a patch
+            # interior get their precomposed filtered-patched value
+            ni, ns, nw = params.corr_nodes[c]
+            sol = sol.at[ni].set(vals.reshape(-1)[ns] * nw)
     sol = jnp.where(params.skipped, jnp.nan, sol)
     if adjust_overlap:
         sol = sol[params.superseded_by]
