@@ -391,8 +391,20 @@ struct AsyncWriter {
         queue.pop_front();
       }
       const auto& buf = job.second;
-      ssize_t n = pwrite(fd, buf.data(), buf.size(), job.first);
-      if (n != static_cast<ssize_t>(buf.size())) errors.fetch_add(1);
+      // pwrite may legally write fewer bytes than asked (EINTR, and any
+      // single write is capped at ~2^31 bytes by the kernel — a 65k-node
+      // x 50k-frame phase-2 block is ~13 GB): loop until done.
+      size_t done = 0;
+      while (done < buf.size()) {
+        ssize_t n = pwrite(fd, buf.data() + done, buf.size() - done,
+                           job.first + static_cast<int64_t>(done));
+        if (n < 0) {
+          if (errno == EINTR) continue;
+          errors.fetch_add(1);
+          break;
+        }
+        done += static_cast<size_t>(n);
+      }
       pending.fetch_sub(1);
       cv.notify_all();
     }

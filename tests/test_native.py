@@ -96,6 +96,26 @@ class TestAsyncWriter:
         for i, b in enumerate(blocks):
             np.testing.assert_array_equal(out[i], b)
 
+    def test_single_submit_beyond_kernel_write_cap(self, tmp_path, rng):
+        """One submit > 2^31 bytes: pwrite is capped at ~2 GiB per call, so
+        the worker MUST loop on partial writes (a 65k-node x 50k-frame
+        phase-2 block is ~13 GB in one submit; regression for the endurance
+        run that died with 'async writes reported errors')."""
+        import shutil
+
+        if shutil.disk_usage(tmp_path).free < 6 << 30:
+            pytest.skip("needs ~3 GB of scratch disk")
+        path = str(tmp_path / "big.bin")
+        n = (2_300_000_000) // 8  # ~2.3 GB, just over the cap
+        data = np.arange(n, dtype=np.int64)
+        with native.AsyncWriter(path) as w:
+            w.submit(0, data)
+        assert os.path.getsize(path) == data.nbytes
+        got = np.fromfile(path, np.int64)
+        np.testing.assert_array_equal(got[:4], data[:4])
+        np.testing.assert_array_equal(got[-4:], data[-4:])
+        os.remove(path)
+
     def test_out_of_order_offsets(self, tmp_path, rng):
         path = str(tmp_path / "ooo.bin")
         a = rng.normal(size=16).astype("<f4")

@@ -257,6 +257,78 @@ class TestEccPallasImpl:
             ecc_affine(img, img, max_iters=1, unroll=True, impl="pallas", band=8)
 
 
+class TestOddWidth:
+    """Kernels at a non-128-multiple lane width (the 2 MP full config is
+    1200x1800): masks/rolls must respect the true width, not the padded."""
+
+    def test_warp_filter_odd_width(self, rng):
+        from upsp_tpu.ops.image import gaussian_blur
+        from upsp_tpu.ops.pallas_ecc import (
+            filter_taps,
+            make_warp_filter,
+            warp_affine_banded,
+        )
+
+        img = jnp.asarray(rng.normal(2000, 300, (96, 200)).astype(np.float32))
+        warp = jnp.asarray(
+            np.array([[1.0003, -1e-4, 0.6], [2e-4, 0.9997, -0.8]], np.float32)
+        )
+        out = np.asarray(make_warp_filter(filter_taps("gaussian", 3))(img, warp))
+        ref = np.asarray(gaussian_blur(warp_affine_banded(img, warp), 3))
+        assert np.abs(out - ref).max() < 1e-3
+
+    def test_moments_odd_width(self, rng):
+        tmpl = jnp.asarray(make_test_image(rng, 96, 200))
+        img = jnp.asarray(make_test_image(rng, 96, 200))
+        warp = jnp.asarray(
+            np.array([[1.0, 0.0, 0.4], [0.0, 1.0, -0.3]], np.float32)
+        )
+        mom = ecc_gn_moments(warp_affine_banded(img, warp), tmpl, warp, warp)
+        area = float(ecc_statistics_from_moments(mom)[-1])
+        assert area == pytest.approx(95 * 199, rel=0.02)
+
+
+class TestHotPixelKernel:
+    """fix_hot_pixels_pallas == ops.image.fix_hot_pixels exactly."""
+
+    def _check(self, img):
+        from upsp_tpu.ops.image import fix_hot_pixels
+        from upsp_tpu.ops.pallas_ecc import fix_hot_pixels_pallas
+
+        out = np.asarray(fix_hot_pixels_pallas(jnp.asarray(img)))
+        ref = np.asarray(fix_hot_pixels(jnp.asarray(img)))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_repairs_hot_pixels(self, rng):
+        img = rng.normal(2000, 200, (64, 128)).astype(np.float32)
+        for y, x in [(0, 0), (5, 127), (63, 64), (31, 31)]:
+            img[y, x] = 4090.0  # hot, incl. corner/edge median cases
+        self._check(img)
+
+    def test_bails_above_max_hot(self, rng):
+        img = rng.normal(2000, 200, (64, 128)).astype(np.float32)
+        ys, xs = rng.integers(2, 60, 8), rng.integers(2, 120, 8)
+        img[ys, xs] = 4095.0  # 8 > max_hot=5: frame returned unchanged
+        self._check(img)
+
+    def test_uint16(self, rng):
+        img = rng.integers(100, 3000, (64, 128)).astype(np.uint16)
+        img[10, 10] = 4095
+        self._check(img)
+
+    def test_vmap(self, rng):
+        from upsp_tpu.ops.image import fix_hot_pixels
+        from upsp_tpu.ops.pallas_ecc import fix_hot_pixels_pallas
+
+        imgs = rng.normal(2000, 200, (3, 64, 128)).astype(np.float32)
+        imgs[1, 8, 9] = 4090.0
+        outs = np.asarray(jax.vmap(fix_hot_pixels_pallas)(jnp.asarray(imgs)))
+        for i in range(3):
+            np.testing.assert_array_equal(
+                outs[i], np.asarray(fix_hot_pixels(jnp.asarray(imgs[i])))
+            )
+
+
 class TestBlurKernel:
     """make_blur == ops.image.gaussian_blur (reflect-101) to f32 rounding."""
 

@@ -79,6 +79,32 @@ def main():
         3))(imgs, warps)
     checks.append(("warp_filter", float(jnp.abs(out_f - ref_f).max())))
 
+    t0 = time.time()
+    from upsp_tpu.ops.pallas_ecc import fix_hot_pixels_pallas, make_blur
+    from upsp_tpu.ops.image import (
+        fix_hot_pixels,
+        gaussian_blur,
+        gaussian_kernel_1d,
+    )
+
+    hot16 = (np.clip(np.asarray(img), 0, 4000)).astype(np.uint16)
+    hot16[5, 7] = 4095
+    hot16 = jnp.asarray(np.stack([hot16, hot16]))
+    out_h = jax.vmap(fix_hot_pixels_pallas)(hot16)
+    out_h.block_until_ready()
+    print(f"hot_pixel compile+run: {time.time()-t0:.1f}s", flush=True)
+    ref_h = jax.vmap(fix_hot_pixels)(hot16)
+    checks.append(("hot_pixel", float(jnp.abs(
+        out_h.astype(jnp.int32) - ref_h.astype(jnp.int32)).max())))
+
+    t0 = time.time()
+    blur = make_blur(tuple(float(t) for t in gaussian_kernel_1d(5)))
+    out_b = jax.vmap(blur)(imgs)
+    out_b.block_until_ready()
+    print(f"blur compile+run: {time.time()-t0:.1f}s", flush=True)
+    ref_b = jax.vmap(lambda i: gaussian_blur(i, 5))(imgs)
+    checks.append(("blur", float(jnp.abs(out_b - ref_b).max())))
+
     for name, v in checks:
         print(f"{name}: {v:.3e}")
     ok = checks[0][1] < 1e-3 and checks[1][1] < 1e-5

@@ -62,15 +62,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# displacement band: taps d in [-BAND, BAND], exact while every sample
-# displacement stays within BAND - 1 px.  After integer pre-shifting the
-# fft translation estimate, residuals are a sub-pixel init + a few px of
-# GN updates — 4 leaves >2 px of headroom at half the VPU cost of 8.
-# UPSP_PALLAS_BAND overrides for A/B measurement (tap count is the warp
-# kernels' dominant VPU cost; 3 keeps 2 px of headroom at 7/9 the taps).
+# displacement band: taps d in [-BAND, BAND].  The bilinear tent needs taps
+# floor(d), floor(d)+1, so the resample is EXACT while every sample
+# displacement stays within BAND px (beyond that, samples read as zero —
+# the same convention as walking off the image, and it shows up as a rho
+# drop in the registration telemetry).  After integer pre-shifting the fft
+# translation estimate, production displacements are a sub-pixel init
+# (<=0.7 px) + affine edge terms + GN updates (~<=0.5 px) — worst case
+# ~1.2 px, so 3 keeps ~1.8 px of headroom.  Tap count is the warp kernels'
+# dominant VPU cost: band 3 measured 3672 vs band 4's 3430 fps at the 1 MP
+# headline (+7%).  UPSP_PALLAS_BAND overrides for A/B measurement.
 import os as _os
 
-DEFAULT_BAND = int(_os.environ.get("UPSP_PALLAS_BAND", "4"))
+DEFAULT_BAND = int(_os.environ.get("UPSP_PALLAS_BAND", "3"))
 _ROW_CHUNK = 256
 
 
@@ -592,6 +596,127 @@ def _moments_vmap(axis_size, in_batched, iw, tmpl, warp, mask_warp):
          jnp.zeros((b, 3), jnp.float32)], axis=1
     )
     return _moments_batched(iw, tmpl, scal, _use_interpret())[:, 0, :], True
+
+
+# ---------------------------------------------------------------------------
+# Hot-pixel repair: median-of-4-neighbors replacement as ONE HBM pass
+
+
+def _hot_kernel(img_ref, out_ref, *, h, w, thresh, min_change, max_hot,
+                out_dtype):
+    """``ops.image.fix_hot_pixels`` semantics (cv_extras.cpp:230-272 role):
+    replace pixels >= thresh by their 4-neighbor median when the drop
+    exceeds min_change, unless more than max_hot pixels look hot.
+
+    Two VMEM passes over the resident image: the global hot count first
+    (row partials only — scalar accumulator chains are a Mosaic compile
+    pathology), then the masked replacement.
+    """
+    big = 3.0e38
+
+    def load(sl):
+        v = img_ref[0, sl, :]
+        if jnp.issubdtype(v.dtype, jnp.unsignedinteger):
+            # Mosaic has no direct uint16 -> f32 cast; hop through int32
+            v = v.astype(jnp.int32)
+        return v.astype(jnp.float32)
+
+    def store(v):
+        if jnp.issubdtype(out_dtype, jnp.unsignedinteger):
+            return v.astype(jnp.int32).astype(out_dtype)
+        return v.astype(out_dtype)
+
+    def neighbors(r0, n):
+        x = load(slice(r0, r0 + n))
+        up = load(slice(max(0, r0 - 1), r0 + n - 1))
+        down = load(slice(r0 + 1, min(h, r0 + n + 1)))
+        if r0 == 0:
+            up = jnp.concatenate([jnp.full((1, w), big, jnp.float32), up],
+                                 axis=0)
+        if r0 + n == h:
+            down = jnp.concatenate(
+                [down, jnp.full((1, w), big, jnp.float32)], axis=0
+            )
+        xs = _iota_row(w)
+        lmask = (xs >= 1.0).astype(jnp.float32)
+        rmask = (xs <= w - 2.0).astype(jnp.float32)
+        left = _shift_cols(x, -1, w) + (1.0 - lmask) * big
+        right = _shift_cols(x, 1, w) + (1.0 - rmask) * big
+        return x, up, down, left, right
+
+    counts = []
+    for r0, n in _row_chunks(h, _ROW_CHUNK):
+        x = load(slice(r0, r0 + n))
+        counts.append(
+            jnp.sum((x >= thresh).astype(jnp.float32), axis=1, keepdims=True)
+        )
+    n_hot = jnp.sum(jnp.concatenate(counts, axis=0))
+    ok = (n_hot <= max_hot).astype(jnp.float32)
+
+    for r0, n in _row_chunks(h, _ROW_CHUNK):
+        x, up, down, left, right = neighbors(r0, n)
+        n_valid = (
+            4.0
+            - (up >= big).astype(jnp.float32)
+            - (down >= big).astype(jnp.float32)
+            - (left >= big).astype(jnp.float32)
+            - (right >= big).astype(jnp.float32)
+        )
+        lo1 = jnp.minimum(up, down)
+        hi1 = jnp.maximum(up, down)
+        lo2 = jnp.minimum(left, right)
+        hi2 = jnp.maximum(left, right)
+        mid_lo = jnp.maximum(lo1, lo2)
+        mid_hi = jnp.minimum(hi1, hi2)
+        s2 = jnp.minimum(mid_lo, mid_hi)
+        s3 = jnp.maximum(mid_lo, mid_hi)
+        median = jnp.where(n_valid == 4.0, s3, s2)
+        replace = (
+            (x >= thresh).astype(jnp.float32)
+            * ((x - median) > min_change).astype(jnp.float32)
+            * ok
+        )
+        out = jnp.where(replace > 0.0, median, x)
+        out_ref[0, r0 : r0 + n, :] = store(out)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("thresh", "min_change", "max_hot", "interpret")
+)
+def _hot_batched(imgs, thresh, min_change, max_hot, interpret):
+    b, h, w = imgs.shape
+    out_dtype = imgs.dtype
+    kern = functools.partial(
+        _hot_kernel, h=h, w=w, thresh=float(thresh),
+        min_change=float(min_change), max_hot=float(max_hot),
+        out_dtype=out_dtype,
+    )
+    spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), out_dtype),
+        grid=(b,),
+        in_specs=[spec],
+        out_specs=spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(imgs)
+
+
+@jax.custom_batching.custom_vmap
+def fix_hot_pixels_pallas(img: jax.Array) -> jax.Array:
+    """Drop-in for ``ops.image.fix_hot_pixels`` default thresholds."""
+    return _hot_batched(img[None], 4064, 512, 5, _use_interpret())[0]
+
+
+@fix_hot_pixels_pallas.def_vmap
+def _hot_vmap(axis_size, in_batched, img):
+    if not in_batched[0]:
+        img = jnp.broadcast_to(img, (axis_size,) + img.shape)
+    return _hot_batched(img, 4064, 512, 5, _use_interpret()), True
 
 
 # ---------------------------------------------------------------------------

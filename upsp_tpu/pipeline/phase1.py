@@ -192,13 +192,18 @@ def _process_frame_core(
 
         tail_taps = filter_taps(filter_type, filter_size)
 
+    if use_pallas:
+        from upsp_tpu.ops.pallas_ecc import fix_hot_pixels_pallas as _fix_hot
+    else:
+        _fix_hot = fix_hot_pixels
+
     sol = None
     warps = []
     telemetry = []
     processed = []
     overlays = []  # (camera, (K, A_max) corrected node-source values)
     for c in range(n_cams):
-        img = fix_hot_pixels(frames[c]) if fix_hot else frames[c]
+        img = _fix_hot(frames[c]) if fix_hot else frames[c]
         img = img.astype(compute_dtype)
         tail_done = False
         if registration == "pixel":
@@ -708,10 +713,16 @@ def make_chunk_processor(
                     # off on device, sub-pixel residual solved by ECC with
                     # the shift composed into the validity mask — bounds
                     # every ECC displacement to the banded-kernel contract
-                    from upsp_tpu.ops.image import fix_hot_pixels
                     from upsp_tpu.ops.warp import integer_shift
 
-                    fixed = [fix_hot_pixels(frame[c]) for c in range(n_cams)]
+                    if use_pallas:
+                        from upsp_tpu.ops.pallas_ecc import (
+                            fix_hot_pixels_pallas as _fh,
+                        )
+                    else:
+                        from upsp_tpu.ops.image import fix_hot_pixels as _fh
+
+                    fixed = [_fh(frame[c]) for c in range(n_cams)]
                     tvecs = jnp.stack(
                         [correlate(tmpls[c], fixed[c]) for c in range(n_cams)]
                     )
