@@ -192,10 +192,11 @@ def _process_frame_core(
 
         tail_taps = filter_taps(filter_type, filter_size)
 
-    if use_pallas:
-        from upsp_tpu.ops.pallas_ecc import fix_hot_pixels_pallas as _fix_hot
-    else:
-        _fix_hot = fix_hot_pixels
+    # hot-pixel repair stays on the XLA path: the Pallas one-pass kernel
+    # (fix_hot_pixels_pallas) MEASURED SLOWER end to end (3503 vs 3672 fps
+    # at the 1 MP headline — the extra kernel boundary costs more than the
+    # fused XLA select it replaces); kept tested as the rejected variant
+    _fix_hot = fix_hot_pixels
 
     sol = None
     warps = []
@@ -713,16 +714,12 @@ def make_chunk_processor(
                     # off on device, sub-pixel residual solved by ECC with
                     # the shift composed into the validity mask — bounds
                     # every ECC displacement to the banded-kernel contract
+                    from upsp_tpu.ops.image import fix_hot_pixels
                     from upsp_tpu.ops.warp import integer_shift
 
-                    if use_pallas:
-                        from upsp_tpu.ops.pallas_ecc import (
-                            fix_hot_pixels_pallas as _fh,
-                        )
-                    else:
-                        from upsp_tpu.ops.image import fix_hot_pixels as _fh
-
-                    fixed = [_fh(frame[c]) for c in range(n_cams)]
+                    # (Pallas hot-pixel kernel measured slower here — see
+                    # _process_frame_core note)
+                    fixed = [fix_hot_pixels(frame[c]) for c in range(n_cams)]
                     tvecs = jnp.stack(
                         [correlate(tmpls[c], fixed[c]) for c in range(n_cams)]
                     )
