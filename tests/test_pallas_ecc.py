@@ -257,6 +257,44 @@ class TestEccPallasImpl:
             ecc_affine(img, img, max_iters=1, unroll=True, impl="pallas", band=8)
 
 
+class TestBf16Kernels:
+    """bf16 images through the round-4 kernels: storage rounding only
+    (compute stays f32 in-kernel), matching the compute_dtype=bfloat16
+    pipeline contract the bench measures."""
+
+    def test_warp_filter_bf16(self, rng):
+        from upsp_tpu.ops.image import gaussian_blur
+        from upsp_tpu.ops.pallas_ecc import (
+            filter_taps,
+            make_warp_filter,
+            warp_affine_banded,
+        )
+
+        img32 = jnp.asarray(rng.normal(2000, 300, (64, 128)).astype(np.float32))
+        warp = jnp.asarray(
+            np.array([[1.0002, -1e-4, 0.3], [1e-4, 0.9998, -0.5]], np.float32)
+        )
+        out16 = make_warp_filter(filter_taps("gaussian", 3))(
+            img32.astype(jnp.bfloat16), warp
+        )
+        assert out16.dtype == jnp.bfloat16
+        ref = np.asarray(gaussian_blur(warp_affine_banded(img32, warp), 3))
+        # bf16 storage rounding ~8 counts at 4000 full scale
+        assert np.abs(np.asarray(out16, np.float32) - ref).max() < 16.0
+
+    def test_blur_bf16(self, rng):
+        from upsp_tpu.ops.image import gaussian_blur, gaussian_kernel_1d
+        from upsp_tpu.ops.pallas_ecc import make_blur
+
+        img32 = jnp.asarray(rng.normal(2000, 300, (64, 128)).astype(np.float32))
+        out16 = make_blur(tuple(float(t) for t in gaussian_kernel_1d(5)))(
+            img32.astype(jnp.bfloat16)
+        )
+        assert out16.dtype == jnp.bfloat16
+        ref = np.asarray(gaussian_blur(img32, 5))
+        assert np.abs(np.asarray(out16, np.float32) - ref).max() < 16.0
+
+
 class TestOddWidth:
     """Kernels at a non-128-multiple lane width (the 2 MP full config is
     1200x1800): masks/rolls must respect the true width, not the padded."""
