@@ -96,6 +96,7 @@ class TestAsyncWriter:
         for i, b in enumerate(blocks):
             np.testing.assert_array_equal(out[i], b)
 
+    @pytest.mark.slow
     def test_single_submit_beyond_kernel_write_cap(self, tmp_path, rng):
         """One submit > 2^31 bytes: pwrite is capped at ~2 GiB per call, so
         the worker MUST loop on partial writes (a 65k-node x 50k-frame
@@ -111,9 +112,11 @@ class TestAsyncWriter:
         with native.AsyncWriter(path) as w:
             w.submit(0, data)
         assert os.path.getsize(path) == data.nbytes
-        got = np.fromfile(path, np.int64)
-        np.testing.assert_array_equal(got[:4], data[:4])
-        np.testing.assert_array_equal(got[-4:], data[-4:])
+        # memmap readback: a full np.fromfile would double peak RAM to ~4.6GB
+        got = np.memmap(path, np.int64, mode="r")
+        np.testing.assert_array_equal(np.asarray(got[:4]), data[:4])
+        np.testing.assert_array_equal(np.asarray(got[-4:]), data[-4:])
+        del got
         os.remove(path)
 
     def test_out_of_order_offsets(self, tmp_path, rng):
