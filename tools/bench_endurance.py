@@ -71,12 +71,17 @@ def probe_disk(path: str, nbytes: int = 2 << 30) -> dict:
 
 
 def probe_tunnel(jnp, nbytes: int = 256 << 20) -> dict:
-    """Host<->device link bandwidth (the tunnel in this environment)."""
-    import jax
+    """Host<->device link bandwidth (the tunnel in this environment).
 
+    block_until_ready under-waits on async host->device transfers on this
+    backend (BENCH_NOTES.md), so the push leg is fenced by fetching one
+    element back — otherwise the pending upload bleeds into the fetch leg
+    and the split is meaningless (a round-4 artifact reported 912/0.7 MB/s
+    for a ~25 MB/s link because of exactly this)."""
     host = np.random.default_rng(1).random(nbytes // 4, np.float32)
     t0 = time.perf_counter()
-    dev = jax.block_until_ready(jnp.asarray(host))
+    dev = jnp.asarray(host)
+    _ = np.asarray(dev[-1:])  # fence: forces the upload to complete
     t_push = time.perf_counter() - t0
     t0 = time.perf_counter()
     _ = np.asarray(dev)
