@@ -187,7 +187,7 @@ class TestWarmStart:
         )
         reg = np.fromfile(
             str(tmp_path / "out" / "registration"), "<f4"
-        ).reshape(16, 1, 4)
+        ).reshape(16, 1, 5)
         assert (reg[:, :, 0] > 0.9).all()  # rho: converged correlation
         assert out.phase2 is not None
 

@@ -411,7 +411,7 @@ class TestRegistrationTelemetry:
         )
         out = run_datapoint(cfg, frames_array=frames, registration_telemetry=True)
         assert out.n_frames == F
-        tele = read_flat(str(tmp_path / "out" / "registration")).reshape(F, 1, 4)
+        tele = read_flat(str(tmp_path / "out" / "registration")).reshape(F, 1, 5)
         assert (tele[:, :, 0] > 0.8).all()
         # default mode is fft/unrolled: column 1 is the final |drho| of the
         # last GN step — the convergence certificate (the step count is a

@@ -513,9 +513,17 @@ class TestPreShiftPipeline:
         assert both.sum() >= v1.sum() - i1.shape[0]  # same coverage
         np.testing.assert_allclose(i2[both], i1[both], rtol=1e-4, atol=0.2)
         # telemetry: rho agrees; translation columns carry the TOTAL shift
+        # (column 4 is the banded-path displacement certificate — 0 on the
+        # jnp path by definition, so compare translations only)
         t1, t2 = np.asarray(t1), np.asarray(t2)
         np.testing.assert_allclose(t2[:, :, 0], t1[:, :, 0], atol=1e-3)
-        np.testing.assert_allclose(t2[:, :, 2:], t1[:, :, 2:], atol=0.05)
+        np.testing.assert_allclose(t2[:, :, 2:4], t1[:, :, 2:4], atol=0.05)
+        assert (t1[:, :, 4] == 0).all()  # dense path: no banded contract
+        # pallas path: certificate present and within the band (pre-shifted
+        # residuals are sub-pixel + affine edge terms)
+        from upsp_tpu.ops.pallas_ecc import DEFAULT_BAND
+
+        assert (t2[:, :, 4] <= DEFAULT_BAND).all()
 
     def test_telemetry_total_translation(self, tmp_path):
         """Pre-shift mode telemetry reports the composed (total) shift.
@@ -552,3 +560,112 @@ class TestPreShiftPipeline:
         assert np.abs(t2[:, :, 2:]).max() > 1.5  # total, not residual
         np.testing.assert_allclose(t2[:, :, 2:], t1[:, :, 2:], atol=0.1)
         np.testing.assert_allclose(t2[:, :, 0], t1[:, :, 0], atol=1e-3)
+
+
+class TestDisplacementCertificate:
+    """Banded-warp displacement certificate + driver hard guard.
+
+    VERDICT round-4 weak #1: a frame whose displacement exceeds the band
+    must not silently zero-sample.  Column 4 of phase-1 telemetry carries
+    the on-device worst-case displacement bound of the residual warp
+    (ops/pallas_ecc.warp_displacement_bound); the driver re-runs violating
+    frames on the dense path (pipeline/run._BandGuard).
+    """
+
+    def test_bound_analytic(self):
+        from upsp_tpu.ops.pallas_ecc import warp_displacement_bound
+
+        h, w = 96, 128
+        # pure translation: bound is the largest |component|
+        wtx = jnp.array([[1.0, 0.0, 2.5], [0.0, 1.0, -1.25]])
+        assert float(warp_displacement_bound(wtx, h, w)) == pytest.approx(2.5)
+        # pure scale about the origin: bound attained at the far corner
+        s = 1.02
+        wsc = jnp.array([[s, 0.0, 0.0], [0.0, s, 0.0]])
+        assert float(warp_displacement_bound(wsc, h, w)) == pytest.approx(
+            (s - 1.0) * (w - 1), rel=1e-5
+        )
+        # identity: zero
+        wid = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        assert float(warp_displacement_bound(wid, h, w)) == 0.0
+
+    def _setup(self, tmp_path):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent))
+        from test_driver_mesh import _config, _frames
+
+        from upsp_tpu.pipeline.phase0 import run_phase0
+
+        # frame 2 shifted far beyond the band: with pre-shift disabled the
+        # banded kernels sample ZERO everywhere (every pixel displaced by
+        # ~2x band), the exact silent-degradation scenario the guard closes
+        from upsp_tpu.ops.pallas_ecc import DEFAULT_BAND
+
+        big = DEFAULT_BAND * 2 + 0.3
+        shifts = [(0.0, 0.0), (0.4, -0.3), (big, 0.0), (-0.2, 0.5)]
+        frames = _frames(4, shifts=shifts)
+        cfg = _config(tmp_path, registration="pixel")
+        state = run_phase0(cfg, [frames[0, 0]], [12])
+        return state, frames, big
+
+    def test_guard_reprocesses_out_of_band_frames(self, tmp_path):
+        from upsp_tpu.ops.pallas_ecc import DEFAULT_BAND
+        from upsp_tpu.pipeline.phase1 import make_chunk_processor
+        from upsp_tpu.pipeline.run import _BandGuard
+
+        state, frames, big = self._setup(tmp_path)
+        banded = make_chunk_processor(
+            state, warm_start="fft", ecc_iters=2, pre_shift=False,
+            ecc_impl="pallas", with_telemetry=True,
+        )
+        sol, tele = banded(jnp.asarray(frames))
+        sol, tele = np.array(sol), np.array(tele)
+        # the certificate flags exactly the out-of-band frame
+        guard = _BandGuard(state, "fft", False, {}, "float32")
+        bad = guard.flagged(tele)
+        assert 2 in bad.tolist()
+        assert tele[2, 0, 4] > DEFAULT_BAND
+        assert 1 not in bad.tolist()
+        # dense oracle: the displacement-unlimited reference-parity path
+        dense = make_chunk_processor(
+            state, warm_start="fft", ecc_iters=2, ecc_impl="jnp",
+            with_telemetry=True,
+        )
+        oracle = np.asarray(dense(jnp.asarray(frames))[0])
+        fin = np.isfinite(oracle[2])
+        # before the guard: the flagged frame IS silently degraded (banded
+        # zero-sampling) — this is the failure mode under test
+        assert not np.allclose(sol[2][fin], oracle[2][fin], atol=0.5)
+        guard.reprocess(sol, tele, frames, bad, 0)
+        np.testing.assert_allclose(
+            sol[2][fin], oracle[2][fin], rtol=1e-4, atol=0.2
+        )
+        # telemetry of the reprocessed frame now reports the dense path
+        assert tele[2, 0, 4] == 0.0
+        assert guard.reprocessed == len(bad)
+
+    def test_in_band_frames_not_flagged(self, tmp_path):
+        """Sub-band shifts pass the certificate untouched (no reprocess)."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent))
+        from test_driver_mesh import _config, _frames
+
+        from upsp_tpu.pipeline.phase0 import run_phase0
+        from upsp_tpu.pipeline.phase1 import make_chunk_processor
+        from upsp_tpu.pipeline.run import _BandGuard
+
+        shifts = [(0.0, 0.0), (0.6, -0.4), (-0.5, 0.2), (0.3, 0.7)]
+        frames = _frames(4, shifts=shifts)
+        cfg = _config(tmp_path, registration="pixel")
+        state = run_phase0(cfg, [frames[0, 0]], [12])
+        fn = make_chunk_processor(
+            state, warm_start="fft", ecc_iters=2, pre_shift=True,
+            ecc_impl="pallas", with_telemetry=True,
+        )
+        _, tele = fn(jnp.asarray(frames))
+        guard = _BandGuard(state, "fft", False, {}, "float32")
+        assert guard.flagged(np.asarray(tele)).size == 0

@@ -163,11 +163,11 @@ class TestTelemetry:
         frames = make_frame_batch(state, n_frames=2)
         fn = make_frame_processor(state, with_telemetry=True)
         sol, tele = fn(jnp.asarray(frames[1]))
-        assert tele.shape == (2, 4)
+        assert tele.shape == (2, 5)
         tele = np.asarray(tele)
         assert (tele[:, 0] > 0.9).all()        # rho
         assert (tele[:, 1] >= 1).all()          # iterations
-        assert np.abs(tele[:, 2:]).max() < 5.0  # sub-5px jitter recovered
+        assert np.abs(tele[:, 2:4]).max() < 5.0  # sub-5px jitter recovered
         # intensity identical to the non-telemetry path
         base = make_frame_processor(state)(jnp.asarray(frames[1]))
         np.testing.assert_array_equal(np.asarray(sol), np.asarray(base))

@@ -74,7 +74,34 @@ from jax.experimental.pallas import tpu as pltpu
 # headline (+7%).  UPSP_PALLAS_BAND overrides for A/B measurement.
 import os as _os
 
-DEFAULT_BAND = int(_os.environ.get("UPSP_PALLAS_BAND", "3"))
+
+def _resolve_band() -> int:
+    """Validate UPSP_PALLAS_BAND (positive int; warn when non-default so two
+    environments producing different numerics for the same code is at least
+    visible in the logs)."""
+    raw = _os.environ.get("UPSP_PALLAS_BAND", "3")
+    try:
+        band = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"UPSP_PALLAS_BAND must be a positive integer, got {raw!r}"
+        ) from None
+    if band < 1:
+        raise ValueError(
+            f"UPSP_PALLAS_BAND must be a positive integer, got {band}"
+        )
+    if band != 3:
+        import logging
+
+        logging.getLogger("upsp_tpu").warning(
+            "UPSP_PALLAS_BAND=%d overrides the default band 3; banded-warp "
+            "numerics differ from the default build (exactness bound %d px)",
+            band, band,
+        )
+    return band
+
+
+DEFAULT_BAND = _resolve_band()
 _ROW_CHUNK = 256
 
 
@@ -280,6 +307,32 @@ def _warp_banded_batched(imgs, warps, band, order, interpret):
         ),
         interpret=interpret,
     )(_warp_scalars(warps), imgs)
+
+
+def warp_displacement_bound(warp: jax.Array, h: int, w: int) -> jax.Array:
+    """Worst-case |sample displacement| (px, L-inf over x/y) of an affine
+    warp over an (h, w) image — the on-device certificate for the banded
+    kernels' contract.
+
+    The displacement field d(x, y) = W @ [x, y, 1] - (x, y) of an affine
+    warp is itself affine in (x, y), so each component's extrema over the
+    image rectangle are attained at the four corners: four dot products,
+    exact, O(1).  ``warp_affine_banded`` / ``make_warp_filter`` /
+    ``ecc_gn_moments`` resample EXACTLY while this bound stays <=
+    DEFAULT_BAND and read ZERO beyond it (the same convention as walking
+    off the image).  The phase-1 driver records the bound in telemetry
+    column 4 and re-runs any frame whose bound exceeds the band through
+    the dense ``warp_affine_mxu`` path, so a high-vibration frame can
+    never silently zero-sample (reference contract: the dense cv2-style
+    warp is displacement-unlimited, registration.cpp:63-80).
+    """
+    corners = jnp.array(
+        [[0.0, 0.0], [w - 1.0, 0.0], [0.0, h - 1.0], [w - 1.0, h - 1.0]],
+        jnp.float32,
+    )
+    wf = warp.astype(jnp.float32)
+    pos = corners @ wf[:, :2].T + wf[:, 2]
+    return jnp.abs(pos - corners).max()
 
 
 @jax.custom_batching.custom_vmap

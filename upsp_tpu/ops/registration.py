@@ -202,6 +202,14 @@ def ecc_affine(
     requires displacements within the banded contract — production fft mode
     integer-pre-shifts to guarantee it), or "auto" (pallas on TPU in
     unrolled mode, jnp elsewhere).
+
+    Banded contract (pallas path): every per-pixel sample displacement must
+    stay within DEFAULT_BAND px (3 by default, UPSP_PALLAS_BAND to
+    override); beyond-band samples read as ZERO, exactly like walking off
+    the image edge.  Use ``valid_shift`` (the fft integer pre-shift) to keep
+    residual displacements inside the band, or pass a ``warp_certificate``
+    check downstream (ops/pallas_ecc.warp_displacement_bound) to detect
+    violations.
     """
     init = identity_warp() if warp_init is None else warp_init
     if unroll and coarse_iters > 0:
@@ -266,7 +274,12 @@ def _ecc_core(
     # once-per-solve blur stays — as ONE VMEM-resident Pallas pass on the
     # kernel path (XLA's lowering costs ~30 us/frame at 1 MP in two HBM
     # passes; ops/pallas_ecc.py make_blur).
-    if impl == "pallas":
+    if impl == "pallas" and gauss_size <= 7:
+        # gauss_size > 7 falls through to the XLA blur: the Pallas kernel's
+        # static roll/tap count is only compile-tested up to 7 taps (the
+        # same bound filter_taps enforces for the fused tail), and a first
+        # compile of an untested kernel shape on the TPU path risks the
+        # shared-compile-service wedge documented in CLAUDE.md
         from upsp_tpu.ops.image import gaussian_kernel_1d
         from upsp_tpu.ops.pallas_ecc import make_blur
 

@@ -167,11 +167,19 @@ def write_registration_meta(
     """
     import json
 
+    from upsp_tpu.ops.pallas_ecc import DEFAULT_BAND
+
     meta = {
-        "columns": ["rho", conv_semantics, "warp_tx", "warp_ty"],
+        "columns": ["rho", conv_semantics, "warp_tx", "warp_ty",
+                    "disp_bound"],
         "conv_semantics": conv_semantics,
         "epsilon": epsilon,
         "max_iters": max_iters,
+        # disp_bound: worst-case banded-kernel sample displacement of the
+        # residual warp (0 on dense paths).  Frames whose bound exceeded
+        # ``band`` were re-run on the dense path by the driver, so recorded
+        # violations are informational, not silent data loss.
+        "band": int(DEFAULT_BAND),
     }
     if ecc_iters is not None:
         meta["ecc_unroll_iters"] = int(ecc_iters)
@@ -193,12 +201,15 @@ def read_registration_meta(path: str) -> dict:
 
 def read_registration_telemetry(path: str, n_cameras: int) -> np.ndarray:
     """Load the ``registration`` flat file written by run_datapoint
-    (registration_telemetry=True) back into (F, C, 4)
-    [rho, conv, warp_tx, warp_ty].  Column 1 (``conv``) is the ECC iteration
-    count in while-loop modes and the final |drho| in fixed-iteration (fft)
-    mode — :func:`read_registration_meta` says which."""
+    (registration_telemetry=True) back into (F, C, K)
+    [rho, conv, warp_tx, warp_ty, disp_bound].  Column 1 (``conv``) is the
+    ECC iteration count in while-loop modes and the final |drho| in
+    fixed-iteration (fft) mode; K comes from the sidecar's ``columns`` list
+    (4 for pre-certificate files) — :func:`read_registration_meta`."""
+    meta = read_registration_meta(path)
+    k = len(meta.get("columns", [])) or 4
     raw = np.fromfile(path, "<f4")
-    return raw.reshape(-1, n_cameras, 4)
+    return raw.reshape(-1, n_cameras, k)
 
 
 def analyze_registration_telemetry(
@@ -268,6 +279,20 @@ def analyze_registration_telemetry(
                 # GN converges quadratically inside the basin: one more
                 # unrolled step when >2% of frames end above epsilon
                 recommend_extra_unroll_step=bool(unconverged > 0.02),
+            )
+        if tele.shape[2] >= 5:
+            # column 4: banded-warp displacement certificate.  Violations
+            # were already re-run on the dense path by the driver; surface
+            # them so the operator sees how close the sequence runs to the
+            # band (persistently high bounds argue for a bigger band or
+            # identity-free warm starts).
+            from upsp_tpu.ops.pallas_ecc import DEFAULT_BAND
+
+            bound = tele[:, c, 4]
+            rec.update(
+                disp_bound_max=float(bound.max()),
+                disp_bound_p99=float(np.percentile(bound, 99)),
+                band_violations=int((bound > DEFAULT_BAND).sum()),
             )
         cameras.append(rec)
     return {"n_frames": F, "cameras": cameras}

@@ -18,6 +18,7 @@ contiguous frame apportioning (psp_process.cpp:1520-1523).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple, Optional, Tuple
 
@@ -31,8 +32,22 @@ from upsp_tpu.ops.registration import ecc_affine, identity_warp, warp_affine
 from upsp_tpu.ops.warp import warp_affine_mxu
 
 
-class Phase1Params(NamedTuple):
-    """Static-shape pytree consumed by the jitted per-frame program."""
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "projections", "skipped", "patch_ops", "ref_frames",
+        "superseded_by", "combined_index", "combined_weight", "patch_corr",
+        "corr_nodes",
+    ],
+    meta_fields=["corr_filter"],
+)
+@dataclasses.dataclass(frozen=True)
+class Phase1Params:
+    """Static-shape pytree consumed by the jitted per-frame program.
+
+    ``corr_filter`` is pytree METADATA, not a leaf (it gates trace-time
+    dispatch of the fused tail, and a string leaf would break jit when
+    params is a traced argument, e.g. in :func:`process_frame`)."""
 
     projections: Tuple[NodeProjection, ...]  # per camera
     skipped: jax.Array  # (N,) bool
@@ -52,6 +67,10 @@ class Phase1Params(NamedTuple):
     patch_corr: Tuple = ()  # per camera: PatchNodeCorrection | None
     # per camera: (node_idx, value_slot, weight) overlay arrays | None
     corr_nodes: Tuple = ()
+    # the (filter_type, filter_size) the corrections above were precomposed
+    # for — the fused tail only engages when the call-time filter matches,
+    # otherwise the overlay would encode a different filter's patch values
+    corr_filter: Optional[Tuple[str, int]] = None
 
 
 def phase1_params(state) -> Phase1Params:
@@ -121,6 +140,11 @@ def phase1_params(state) -> Phase1Params:
         combined_weight=combined_weight,
         patch_corr=tuple(patch_corr),
         corr_nodes=tuple(corr_nodes),
+        corr_filter=(
+            (state.config.filter, state.config.filter_size)
+            if patch_corr
+            else None
+        ),
     )
 
 
@@ -155,11 +179,13 @@ def _process_frame_core(
     ecc_impl: str = "auto",  # GN-step backend: auto | jnp | pallas
     fix_hot: bool = True,  # hot-pixel repair (False when done by the caller)
 ):
-    """One multi-camera frame -> (intensity (N,), warps (C,2,3), telemetry (C,4)).
+    """One multi-camera frame -> (intensity (N,), warps (C,2,3), telemetry (C,5)).
 
-    Telemetry per camera is [rho, conv, warp_tx, warp_ty] — the on-device
-    analog of the reference's per-frame registration logging, at zero extra
-    compute (all four values fall out of the ECC solve).  ``conv`` is the
+    Telemetry per camera is [rho, conv, warp_tx, warp_ty, disp_bound] — the
+    on-device analog of the reference's per-frame registration logging, at
+    zero extra compute (the first four values fall out of the ECC solve;
+    ``disp_bound`` is the banded-kernel displacement certificate,
+    ops/pallas_ecc.warp_displacement_bound — 0 on dense paths).  ``conv`` is the
     iteration count in while-loop mode; in fixed-iteration (fft/unrolled)
     mode it is the final |drho| of the last GN step — the real convergence
     signal there (|drho| < epsilon means the solve reached the while_loop
@@ -178,15 +204,17 @@ def _process_frame_core(
         and ecc_band is None
         and jax.default_backend() == "tpu"
     )
-    # fused-tail eligibility: final warp + filter in ONE Pallas kernel with
-    # patches precomposed to node overlays (ops/patching.py) — combined-
-    # gather path only (nodes see one camera), fixed-iteration pallas mode
+    # fused-tail eligibility: final warp + filter in ONE Pallas kernel,
+    # fixed-iteration pallas mode.  With the combined gather (best_view:
+    # nodes see one camera) patches precompose to node overlays
+    # (ops/patching.py); on the per-camera path (average_view) the fused
+    # tail still applies for cameras without patch work — patched cameras
+    # there fall through to the split warp + scatter + filter sequence.
     tail_taps = None
     if (
         use_pallas
         and registration == "pixel"
         and interpolation != "nearest"
-        and params.combined_index is not None
     ):
         from upsp_tpu.ops.pallas_ecc import filter_taps
 
@@ -235,8 +263,19 @@ def _process_frame_core(
             # telemetry records the TOTAL translation (pre-shift composed
             # back in) so the flat-file record is mode-independent
             t_tot = warp[:, 2] if vs_c is None else warp[:, 2] + vs_c
+            # column 4: the banded-contract certificate — worst-case sample
+            # displacement of the RESIDUAL warp the banded kernels sample
+            # with (0 on the dense path, which is displacement-unlimited)
+            if use_pallas and interpolation != "nearest":
+                from upsp_tpu.ops.pallas_ecc import warp_displacement_bound
+
+                cert = warp_displacement_bound(warp, *img.shape)
+            else:
+                cert = jnp.float32(0.0)
             telemetry.append(
-                jnp.stack([rho, conv.astype(jnp.float32), t_tot[0], t_tot[1]])
+                jnp.stack(
+                    [rho, conv.astype(jnp.float32), t_tot[0], t_tot[1], cert]
+                )
             )
             warps.append(warp)
             if interpolation == "nearest":
@@ -249,9 +288,15 @@ def _process_frame_core(
                     params.corr_nodes[c] if c < len(params.corr_nodes) else None
                 )
                 need_patch = patch and params.patch_ops[c] is not None
-                if tail_taps is not None and (
-                    not need_patch or (corr is not None and nodes is not None)
-                ):
+                # the precomposed overlays encode the filter they were built
+                # for (Phase1Params.corr_filter); a call with different
+                # filter args must not use them
+                corr_ok = (
+                    corr is not None
+                    and nodes is not None
+                    and params.corr_filter == (filter_type, filter_size)
+                )
+                if tail_taps is not None and (not need_patch or corr_ok):
                     from upsp_tpu.ops.pallas_ecc import make_warp_filter
 
                     if need_patch:
@@ -273,7 +318,9 @@ def _process_frame_core(
             else:
                 img = warp_affine_mxu(img, warp, band=ecc_band)
         else:
-            telemetry.append(jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32))
+            telemetry.append(
+                jnp.array([1.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+            )
             warps.append(identity_warp())
         if not tail_done:
             if patch and params.patch_ops[c] is not None:
@@ -363,8 +410,18 @@ def _process_frame_cams_batched(
         warps, rhos, convs = jax.vmap(solve)(
             params.ref_frames, imgs, warp_init
         )
+        if use_pallas and interpolation != "nearest":
+            from upsp_tpu.ops.pallas_ecc import warp_displacement_bound
+
+            h, w = imgs.shape[-2:]
+            certs = jax.vmap(
+                lambda wp: warp_displacement_bound(wp, h, w)
+            )(warps)
+        else:
+            certs = jnp.zeros((n_cams,), jnp.float32)
         telemetry = jnp.stack(
-            [rhos, convs.astype(jnp.float32), warps[:, 0, 2], warps[:, 1, 2]],
+            [rhos, convs.astype(jnp.float32), warps[:, 0, 2], warps[:, 1, 2],
+             certs],
             axis=1,
         )
         if interpolation == "nearest":
@@ -382,7 +439,7 @@ def _process_frame_cams_batched(
     else:
         warps = jnp.broadcast_to(identity_warp(), (n_cams, 2, 3))
         telemetry = jnp.broadcast_to(
-            jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32), (n_cams, 4)
+            jnp.array([1.0, 0.0, 0.0, 0.0, 0.0], jnp.float32), (n_cams, 5)
         )
     if patch and any(op is not None for op in params.patch_ops):
         imgs = jnp.stack(
@@ -564,7 +621,8 @@ def make_chunk_processor(
       (psp_process.cpp:1520-1523) as SPMD.  Chunk length must divide evenly.
     - ``packed``: input is (F, C, B) uint8 packed camera bytes, unpacked on
       device before the frame program (ops/pallas_unpack.py).
-    - ``with_telemetry``: returns (intensity, (F, C, 4) registration records).
+    - ``with_telemetry``: returns (intensity, (F, C, 5) registration records
+      [rho, conv, tx, ty, disp_bound]).
     - ``frame_batch``: vmap this many frames per loop step (fft mode, and
       any mode without a while_loop ECC solve, e.g. registration "none") —
       fft mode uses fixed, unrolled Gauss-Newton steps (optional

@@ -311,6 +311,75 @@ def _batch_iter(
         yield start, valid, batch
 
 
+class _BandGuard:
+    """Hard guard for the banded-warp displacement contract.
+
+    The Pallas ECC/warp kernels resample exactly only while every sample
+    displacement of the residual warp stays within DEFAULT_BAND px; beyond
+    that, samples read as ZERO (ops/pallas_ecc.py).  Phase 1 certifies each
+    frame on device (telemetry column 4 = worst-case displacement,
+    warp_displacement_bound); this guard re-runs any violating frame through
+    the dense ``warp_affine_mxu`` path (ecc_impl="jnp" — displacement-
+    unlimited, the reference-parity warp, registration.cpp:63-80) and
+    overwrites its intensity row + telemetry, so a high-vibration frame can
+    never silently degrade intensity data.  The dense fallback program is
+    built lazily (violations are rare: fft integer pre-shifting bounds
+    production residuals to ~1.2 px against a band of 3).
+    """
+
+    def __init__(self, state, warm_start, use_packed, packed_kw,
+                 compute_dtype):
+        from upsp_tpu.ops.pallas_ecc import DEFAULT_BAND
+
+        self.band = float(DEFAULT_BAND)
+        self._build = lambda: make_chunk_processor(
+            state, warm_start=warm_start, frame_batch=1,
+            with_telemetry=True, packed=use_packed,
+            compute_dtype=compute_dtype, ecc_impl="jnp", **packed_kw
+        )
+        self._dense = None
+        self.reprocessed = 0
+
+    def flagged(self, tele_np: np.ndarray) -> np.ndarray:
+        """Frame indices (within the chunk) whose certificate exceeds the
+        band across any camera."""
+        if tele_np.shape[-1] < 5 or tele_np.shape[0] == 0:
+            return np.empty(0, np.intp)
+        bound = np.nanmax(tele_np[..., 4], axis=-1)
+        return np.nonzero(bound > self.band)[0]
+
+    def dense_rows(self, batch_np, bad, start=0):
+        """Dense-path (intensity, telemetry) for the ``bad`` chunk rows."""
+        if self._dense is None:
+            self._dense = self._build()
+        sols, teles = [], []
+        for i in bad:
+            i = int(i)
+            s, t = self._dense(batch_np[i : i + 1])
+            sols.append(np.asarray(s)[0])
+            teles.append(np.asarray(t)[0])
+        self.reprocessed += len(bad)
+        log.warning(
+            "phase1: %d frame(s) near frame %d exceeded the banded-warp "
+            "displacement contract (band %g px); re-ran on the dense path",
+            len(bad), start, self.band,
+        )
+        return np.stack(sols), np.stack(teles)
+
+    def reprocess(self, sol_np, tele_np, batch_np, bad, start) -> None:
+        """Re-run ``bad`` chunk rows on the dense path, in place."""
+        sols, teles = self.dense_rows(batch_np, bad, start)
+        for k, i in enumerate(bad):
+            i = int(i)
+            sol_np[i] = sols[k]
+            tele_np[i, :, : teles.shape[-1]] = teles[k]
+
+    def __call__(self, sol_np, tele_np, batch, start) -> None:
+        bad = self.flagged(tele_np)
+        if bad.size:
+            self.reprocess(sol_np, tele_np, fetch_global(batch), bad, start)
+
+
 def run_datapoint(
     cfg: ProcessingConfig,
     checkout: bool = False,
@@ -337,9 +406,12 @@ def run_datapoint(
     "auto" engages whenever every camera's format supports packed reads.
     False always decodes on the host.
     ``registration_telemetry=True`` records per-frame/per-camera ECC quality
-    [rho, iterations, warp_tx, warp_ty] (free — all four fall out of the
-    solve), writes it to the ``registration`` flat file (F*C*4 f32), and logs
-    a convergence summary for epsilon/iteration-budget tuning.
+    [rho, iterations, warp_tx, warp_ty, disp_bound] (free — the values fall
+    out of the solve), writes it to the ``registration`` flat file (F*C*5
+    f32 + self-describing sidecar), and logs a convergence summary for
+    epsilon/iteration-budget tuning.  The displacement certificate (column
+    4) is enforced regardless of this flag: frames exceeding the banded
+    contract re-run on the dense path (_BandGuard).
     ``mesh``: None (single device), "auto" (all local devices), or a 1-D Mesh
     — phase 1 shards the frame axis, phase 2 reshards to nodes on device.
     ``warm_start``: ECC initialization — "fft" (default: per-frame phase-
@@ -402,16 +474,20 @@ def run_datapoint(
         log.info("resume requested but no consistent intensity file; running")
 
     use_packed, packed_kw = _packed_ingest_config(readers, frames_array, device_unpack)
+    # telemetry is always requested: column 4 carries the banded-warp
+    # displacement certificate that the _BandGuard hard guard enforces
+    # (recording to the flat file stays opt-in via registration_telemetry)
     fn = make_chunk_processor(
         state,
         mesh=mesh,
         warm_start=warm_start,
         frame_batch=frame_batch if warm_start == "fft" else 1,
-        with_telemetry=registration_telemetry,
+        with_telemetry=True,
         packed=use_packed,
         compute_dtype=compute_dtype,
         **packed_kw,
     )
+    guard = _BandGuard(state, warm_start, use_packed, packed_kw, compute_dtype)
     if use_packed:
         log.info(
             "phase1: on-device packed-byte ingest enabled (%d-bit)",
@@ -423,22 +499,22 @@ def run_datapoint(
             mesh.devices.size, mesh.axis_names[0],
         )
     intensity = np.empty((n_frames, n_nodes), np.float32)
-    n_cams = len(cfg.cameras) if frames_array is None else frames_array.shape[1]
-    reg_telemetry = (
-        np.empty((n_frames, n_cams, 4), np.float32)
-        if registration_telemetry
-        else None
-    )
+    reg_telemetry = None  # allocated lazily from the first chunk's width
 
     for start, valid, batch in _batch_iter(
         frames_array, readers, n_frames, start0, frames_per_chunk,
         use_packed, mesh,
     ):
-        out = fn(batch)
-        if registration_telemetry:
-            out, tele = out
-            reg_telemetry[start : start + valid] = fetch_global(tele)[:valid]
-        intensity[start : start + valid] = fetch_global(out)[:valid]
+        out, tele = fn(batch)
+        tele_np = fetch_global(tele)[:valid]
+        sol_np = fetch_global(out)[:valid]
+        guard(sol_np, tele_np, batch, start)
+        if reg_telemetry is None:
+            reg_telemetry = np.empty(
+                (n_frames,) + tele_np.shape[1:], np.float32
+            )
+        reg_telemetry[start : start + valid] = tele_np
+        intensity[start : start + valid] = sol_np
         if start % (frames_per_chunk * 8) == 0:
             log.info("phase1: processed frame %d / %d", start, n_frames)
 
@@ -451,7 +527,12 @@ def run_datapoint(
         for r in readers:
             r.close()
 
-    if registration_telemetry:
+    if guard.reprocessed:
+        log.warning(
+            "phase1: %d total frame(s) re-ran on the dense path (banded-"
+            "warp displacement contract)", guard.reprocessed,
+        )
+    if registration_telemetry and reg_telemetry is not None:
         rho, conv = reg_telemetry[..., 0], reg_telemetry[..., 1]
         # conv = iteration count (while-loop modes) or final |drho| of the
         # last GN step (fft/unrolled mode); the registration.json sidecar
@@ -570,15 +651,17 @@ def run_datapoint_streaming(
     fn = make_chunk_processor(
         state, mesh=mesh, warm_start=warm_start,
         frame_batch=frame_batch if warm_start == "fft" else 1,
+        with_telemetry=True,
         packed=use_packed, compute_dtype=compute_dtype, **packed_kw
     )
+    guard = _BandGuard(state, warm_start, use_packed, packed_kw, compute_dtype)
     ffs = FlatFileSet(cfg.out_dir)
     pid, pcount = _dist_info(mesh)
     if pcount > 1:
         return _streaming_multiprocess(
             cfg, state, camset, readers, frames_array, n_frames, start0,
             frames_per_chunk, node_block, use_packed, write_hdf5, mesh, fn,
-            ffs, pid, pcount,
+            ffs, pid, pcount, guard,
         )
 
     sum_i = np.zeros(n_nodes, np.float64)
@@ -591,7 +674,9 @@ def run_datapoint_streaming(
             frames_array, readers, n_frames, start0, frames_per_chunk,
             use_packed, mesh,
         ):
-            out = fetch_global(fn(batch))[:valid]
+            out, tele = fn(batch)
+            out = fetch_global(out)[:valid]
+            guard(out, fetch_global(tele)[:valid], batch, start)
             writer.submit(start * n_nodes * 4, out.astype("<f4"))
             with np.errstate(invalid="ignore"):
                 sum_i += np.nansum(out, axis=0, dtype=np.float64)
@@ -738,7 +823,7 @@ def _ensure_file_size(path: str, nbytes: int) -> None:
 def _streaming_multiprocess(
     cfg, state, camset, readers, frames_array, n_frames, start0,
     frames_per_chunk, node_block, use_packed, write_hdf5, mesh, fn, ffs,
-    pid, pcount,
+    pid, pcount, guard=None,
 ) -> DatapointOutputs:
     """Multi-host out-of-core streaming (see run_datapoint_streaming).
 
@@ -798,12 +883,29 @@ def _streaming_multiprocess(
             frames_array, readers, n_frames, start0, frames_per_chunk,
             use_packed, mesh,
         ):
-            out = fn(batch)  # (Vp, N) frame-sharded
+            out, tele = fn(batch)  # (Vp, N) frame-sharded
+            # banded-warp displacement guard: every host re-runs ALL
+            # flagged frames of the chunk on the dense path (deterministic
+            # and host-identical), because each host needs the corrected
+            # column for ITS node slice of the transposed file, not just
+            # its own frame rows
+            corr = None
+            if guard is not None:
+                bad = guard.flagged(fetch_global(tele)[:valid])
+                if bad.size:
+                    corr_s, _ = guard.dense_rows(
+                        fetch_global(batch), bad, start
+                    )
+                    corr = {int(i): corr_s[k] for k, i in enumerate(bad)}
             # this host's frame rows -> intensity file + stat partials
             row0, rows = local_block(out)
             lv = int(np.clip(valid - row0, 0, rows.shape[0]))
             if lv > 0:
                 rows = np.asarray(rows[:lv], "<f4")
+                if corr:
+                    for i, v in corr.items():
+                        if 0 <= i - row0 < lv:
+                            rows[i - row0] = v
                 writer.submit((start + row0) * n_nodes * 4, rows)
                 with np.errstate(invalid="ignore"):
                     sum_i += np.nansum(rows, axis=0, dtype=np.float64)
@@ -818,6 +920,10 @@ def _streaming_multiprocess(
             assert trow0 == n0, (trow0, n0)
             if trans is not None:
                 trans[:, start : start + valid] = tloc[:n_local, :valid]
+                if corr:
+                    for i, v in corr.items():
+                        if i < valid:
+                            trans[:, start + i] = v[n0 : n0 + n_local]
     finally:
         writer.close()
         if readers:
