@@ -72,6 +72,46 @@ class TestNativeBVH:
             rtol=2e-5,
         )
 
+    def test_sah_build_same_hits(self, rng):
+        """SAH-bucket build (reference pspRT.cpp:499-525 objective) returns
+        a different tree but identical closest hits."""
+        import jax.numpy as jnp
+
+        from upsp_tpu.ops.raycast import bvh_intersect, bvh_to_device
+
+        verts = rng.normal(size=(120, 3)).astype(np.float32)
+        tris = rng.integers(0, 120, size=(200, 3)).astype(np.int32)
+        ok = (
+            (tris[:, 0] != tris[:, 1])
+            & (tris[:, 1] != tris[:, 2])
+            & (tris[:, 0] != tris[:, 2])
+        )
+        tris = tris[ok]
+        med = native.build_bvh(verts, tris, leaf_size=4, method="median")
+        sah = native.build_bvh(verts, tris, leaf_size=4, method="sah")
+        assert sorted(sah.tri_id.tolist()) == sorted(range(tris.shape[0]))
+        assert (sah.leaf_count[sah.leaf_start >= 0] >= 1).all()
+        origins = rng.normal(size=(150, 3)).astype(np.float32) * 3
+        dirs = rng.normal(size=(150, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        t_m, p_m, h_m = bvh_intersect(
+            bvh_to_device(med), jnp.asarray(origins), jnp.asarray(dirs),
+            max_leaf=med.max_leaf_count,
+        )
+        t_s, p_s, h_s = bvh_intersect(
+            bvh_to_device(sah), jnp.asarray(origins), jnp.asarray(dirs),
+            max_leaf=sah.max_leaf_count,
+        )
+        np.testing.assert_array_equal(np.array(h_m), np.array(h_s))
+        hm = np.array(h_m)
+        np.testing.assert_allclose(
+            np.array(t_m)[hm], np.array(t_s)[hm], rtol=2e-5
+        )
+        # prim ids are original triangle ids in both layouts: same winner
+        np.testing.assert_array_equal(
+            np.array(p_m)[hm], np.array(p_s)[hm]
+        )
+
 
 class TestTranspose:
     def test_native_transpose(self, tmp_path, rng):

@@ -104,6 +104,7 @@ class TestBVH:
             np.array(t_b)[np.array(hit_b)], np.array(t_o)[np.array(hit_o)], rtol=2e-5
         )
 
+    @pytest.mark.slow
     def test_fixture_grid_self_visibility(self, fml_model):
         """Rays from far away toward surface nodes must hit the surface."""
         m = fml_model
@@ -200,3 +201,110 @@ class TestVisibilityIncal:
             project, (20, 20),
         )
         assert len(tiny) < len(small)
+
+
+class TestWatertight:
+    """Watertight Woop/Benthin/Wald intersector (reference pspRT.cpp:48-100
+    behavior): a ray through an edge shared by two triangles must hit at
+    least one of them — plain Moller-Trumbore can round both u/v tests the
+    wrong way and miss in BOTH."""
+
+    def _edge_rays(self, n=257):
+        """Rays through the shared diagonal (0,0,0)-(1,1,0) of the unit
+        quad, at parameters chosen to be non-representable in binary."""
+        s = (np.arange(1, n + 1, dtype=np.float64) / (n + 1)) * (1 / 3) + 0.31
+        pts = np.stack([s, s, np.zeros_like(s)], axis=1)
+        # oblique directions so the shear path is exercised (not axis-aligned)
+        origins = (pts + np.array([0.123, -0.071, -2.0])).astype(np.float32)
+        dirs = (pts - origins).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        return origins.astype(np.float32), dirs
+
+    def test_shared_edge_never_leaks(self):
+        from upsp_tpu.ops.raycast import watertight_intersect
+
+        verts, tris = make_quad_soup()
+        v0 = verts[tris[:2, 0]]
+        e1 = verts[tris[:2, 1]] - v0
+        e2 = verts[tris[:2, 2]] - v0
+        origins, dirs = self._edge_rays()
+        for o, d in zip(jnp.asarray(origins), jnp.asarray(dirs)):
+            _, valid = watertight_intersect(
+                o, d, jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2)
+            )
+            assert bool(np.asarray(valid).any()), (o, d)
+
+    def test_bvh_edge_rays_hit(self):
+        """Through the BVH: every shared-edge ray lands a hit with the
+        default (watertight) intersector."""
+        verts, tris = make_quad_soup()
+        bvh = bvh_to_device(build_bvh(verts, tris, leaf_size=2))
+        origins, dirs = self._edge_rays()
+        t, prim, hit = bvh_intersect(
+            bvh, jnp.asarray(origins), jnp.asarray(dirs)
+        )
+        assert bool(np.asarray(hit).all())
+        # the hits land on the z=0 quad's two triangles
+        assert set(np.asarray(prim).tolist()) <= {0, 1}
+
+    def test_matches_mt_off_edge(self):
+        """Away from edges the two intersectors agree exactly (same hits,
+        same t within f32 rounding)."""
+        rng = np.random.default_rng(11)
+        verts, tris = make_quad_soup()
+        bvh = bvh_to_device(build_bvh(verts, tris, leaf_size=2))
+        origins = rng.uniform(
+            [0.05, 0.05, -2.0], [0.95, 0.95, -1.0], (128, 3)
+        ).astype(np.float32)
+        dirs = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (128, 1))
+        t_w, p_w, h_w = bvh_intersect(
+            bvh, jnp.asarray(origins), jnp.asarray(dirs),
+            intersector="watertight",
+        )
+        t_m, p_m, h_m = bvh_intersect(
+            bvh, jnp.asarray(origins), jnp.asarray(dirs), intersector="mt"
+        )
+        np.testing.assert_array_equal(np.asarray(h_w), np.asarray(h_m))
+        np.testing.assert_array_equal(np.asarray(p_w), np.asarray(p_m))
+        np.testing.assert_allclose(
+            np.asarray(t_w)[np.asarray(h_w)],
+            np.asarray(t_m)[np.asarray(h_m)], rtol=1e-5, atol=1e-5
+        )
+
+    @pytest.mark.slow
+    def test_fixture_visibility_counts_stable(self, fml_model):
+        """Switching the default intersector to watertight must not move
+        fixture self-visibility beyond edge-grazing recoveries (watertight
+        can only ADD hits on shared edges, not lose interior hits)."""
+        m = fml_model
+        flat = build_bvh(m.vertices, m.triangles, leaf_size=4)
+        bvh = bvh_to_device(flat)
+        nodes = jnp.arange(0, m.size, 37)
+        cam = jnp.asarray(np.array([0.0, 0.0, 50.0], np.float32))
+        vis_w, _ = node_visibility(
+            bvh, jnp.asarray(m.triangles), jnp.asarray(m.vertices),
+            nodes, cam,
+        )
+        n_w = int(np.asarray(vis_w).sum())
+        assert n_w > 0
+        # parity band: the watertight default sees at least as many nodes
+        # as a plain-MT run minus nothing, and no more than a few extra
+        import upsp_tpu.ops.raycast as rc
+
+        t, prim, hit = bvh_intersect(
+            bvh,
+            jnp.broadcast_to(cam, (len(nodes), 3)),
+            _unit(np.asarray(m.vertices)[np.asarray(nodes)] - np.asarray(cam)),
+            intersector="mt",
+        )
+        tri_nodes = np.asarray(m.triangles)[np.maximum(np.asarray(prim), 0)]
+        vis_m = np.asarray(hit) & (
+            tri_nodes == np.asarray(nodes)[:, None]
+        ).any(axis=1)
+        # primary-pass watertight recoveries only ever add visibility
+        assert n_w >= int(vis_m.sum())
+
+
+def _unit(v):
+    v = np.asarray(v, np.float32)
+    return jnp.asarray(v / np.linalg.norm(v, axis=-1, keepdims=True))

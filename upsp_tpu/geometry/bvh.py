@@ -49,9 +49,14 @@ class FlatBVH:
 
 
 def build_bvh(
-    vertices: np.ndarray, triangles: np.ndarray, leaf_size: int = 4
+    vertices: np.ndarray, triangles: np.ndarray, leaf_size: int = 4,
+    method: str = "median",
 ) -> FlatBVH:
-    """Build a median-split BVH; returns flattened escape-link arrays."""
+    """Build a median-split BVH; returns flattened escape-link arrays.
+
+    ``method="sah"`` is only implemented by the native builder
+    (upsp_tpu.native.build_bvh); this numpy fallback always median-splits —
+    the tree differs but the traversal contract and hits are identical."""
     v = np.asarray(vertices, np.float32)
     t = np.asarray(triangles, np.int64)
     if t.shape[0] == 0:

@@ -39,7 +39,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.upsp_bvh_max_nodes.argtypes = [ctypes.c_int64]
     lib.upsp_bvh_max_nodes.restype = ctypes.c_int64
     lib.upsp_bvh_build.argtypes = [ctypes.c_void_p] * 2 + [
-        ctypes.c_int64, ctypes.c_int
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int
     ] + [ctypes.c_void_p] * 6
     lib.upsp_bvh_build.restype = ctypes.c_int64
     lib.upsp_bvh_intersect.argtypes = (
@@ -100,12 +100,20 @@ def unpack_10bpp(buf) -> np.ndarray:
     return out
 
 
-def build_bvh(vertices: np.ndarray, triangles: np.ndarray, leaf_size: int = 4):
-    """Native BVH build returning a FlatBVH (python layout contract)."""
+def build_bvh(vertices: np.ndarray, triangles: np.ndarray, leaf_size: int = 4,
+              method: str = "median"):
+    """Native BVH build returning a FlatBVH (python layout contract).
+
+    ``method``: "median" (fast build — phase-0 default) or "sah" (bucketed
+    surface-area-heuristic splits, the reference's pbrt-style choice at
+    pspRT.cpp:499-525 — slower build, faster traversal; worth it at
+    campaign scale where the visibility ray budget dominates the build)."""
     from upsp_tpu.geometry.bvh import FlatBVH, build_bvh as py_build
 
+    if method not in ("median", "sah"):
+        raise ValueError(f"method must be median|sah, got {method!r}")
     if _LIB is None:
-        return py_build(vertices, triangles, leaf_size)
+        return py_build(vertices, triangles, leaf_size, method=method)
     v = np.ascontiguousarray(vertices, np.float32)
     t = np.ascontiguousarray(triangles, np.int32)
     T = t.shape[0]
@@ -120,7 +128,7 @@ def build_bvh(vertices: np.ndarray, triangles: np.ndarray, leaf_size: int = 4):
         _LIB.upsp_bvh_build(
             v.ctypes.data_as(ctypes.c_void_p),
             t.ctypes.data_as(ctypes.c_void_p),
-            T, leaf_size,
+            T, leaf_size, 1 if method == "sah" else 0,
             bmin.ctypes.data_as(ctypes.c_void_p),
             bmax.ctypes.data_as(ctypes.c_void_p),
             escape.ctypes.data_as(ctypes.c_void_p),

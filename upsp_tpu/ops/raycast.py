@@ -75,6 +75,83 @@ def bvh_to_device(bvh: FlatBVH, dtype=jnp.float32) -> BVHArrays:
     )
 
 
+def watertight_intersect(origin, direction, v0, e1, e2, eps=1e-9):
+    """Watertight ray-triangle intersection (Woop/Benthin/Wald scheme).
+
+    The reference deliberately uses this formulation
+    (cpp/raycast/pspRT.cpp:48-100, pbrt-v3 derived — behavior reimplemented,
+    not copied): the ray is transformed so it travels +z, triangle vertices
+    are sheared into that frame, and the 2-D edge functions are evaluated
+    with consistent orientation.  A shared edge yields edge-function values
+    of equal magnitude and opposite sign in its two triangles, so a ray
+    through the edge registers in at least one of them — plain
+    Möller–Trumbore can miss in BOTH (the `u >= 0 && v >= 0` tests fail on
+    opposite sides by rounding), flipping a node invisible.  Boundary values
+    (edge function exactly 0) count as hits.
+
+    Batched over triangle rows: ``v0/e1/e2`` are (L, 3) with ``e1/e2`` the
+    edge vectors (v1-v0, v2-v0) as stored in :class:`BVHArrays`.  Returns
+    (t, valid) per row.  (pbrt re-evaluates exact-zero edge functions in
+    double precision; at f32 the zero already counts as a hit here, which
+    preserves the no-leak guarantee — only multi-hit tie-breaking differs.)
+    """
+    # permute so the dominant direction component becomes z
+    ad = jnp.abs(direction)
+    kz = jnp.argmax(ad)
+    kx = (kz + 1) % 3
+    ky = (kx + 1) % 3
+    # preserve winding: swap x/y when the dominant component is negative
+    neg = direction[kz] < 0.0
+    kx, ky = (
+        jnp.where(neg, ky, kx),
+        jnp.where(neg, kx, ky),
+    )
+    perm = jnp.stack([kx, ky, kz])
+    d = jnp.take(direction, perm)
+    # translate to ray origin, permute
+    A = jnp.take(v0 - origin, perm, axis=-1)
+    B = jnp.take(v0 + e1 - origin, perm, axis=-1)
+    C = jnp.take(v0 + e2 - origin, perm, axis=-1)
+    # shear to make the ray (0, 0, 1)
+    sz = 1.0 / d[2]
+    sx = d[0] * sz
+    sy = d[1] * sz
+    ax = A[..., 0] - sx * A[..., 2]
+    ay = A[..., 1] - sy * A[..., 2]
+    bx = B[..., 0] - sx * B[..., 2]
+    by = B[..., 1] - sy * B[..., 2]
+    cx = C[..., 0] - sx * C[..., 2]
+    cy = C[..., 1] - sy * C[..., 2]
+    # 2-D edge functions; shared edges see the same values with opposite
+    # sign in the neighboring triangle — the watertightness invariant.
+    # CAVEAT: that negation is only bitwise when a*b - c*d is correctly
+    # rounded; XLA contracts these into FMAs (measured: the same ray gives
+    # exact 0 eagerly and ±1 ulp-of-product under jit), which can flip a
+    # boundary value's sign differently in the two triangles and leak the
+    # ray through BOTH.  A conservative tolerance of a few ulps of the
+    # edge-function magnitude restores the no-leak guarantee for any
+    # contraction the compiler picks; rays within the tolerance band may
+    # hit both triangles instead of exactly one (harmless for closest-hit
+    # and occlusion queries — same t).
+    e0 = cx * by - cy * bx
+    e1f = ax * cy - ay * cx
+    e2f = bx * ay - by * ax
+    tol = 4e-7 * (jnp.abs(e0) + jnp.abs(e1f) + jnp.abs(e2f))
+    inside = ((e0 >= -tol) & (e1f >= -tol) & (e2f >= -tol)) | (
+        (e0 <= tol) & (e1f <= tol) & (e2f <= tol)
+    )
+    det = e0 + e1f + e2f
+    az = sz * A[..., 2]
+    bz = sz * B[..., 2]
+    cz = sz * C[..., 2]
+    t_scaled = e0 * az + e1f * bz + e2f * cz
+    # t and det must agree in sign (hit in front of the origin)
+    sign = jnp.sign(det)
+    valid = inside & (det != 0.0) & (t_scaled * sign > eps * jnp.abs(det))
+    t = t_scaled / jnp.where(det == 0.0, 1.0, det)
+    return t, valid
+
+
 def moller_trumbore(origin, direction, v0, e1, e2, eps=1e-9):
     """Batched Möller–Trumbore: returns (t, valid) per triangle row."""
     pvec = jnp.cross(direction, e2)
@@ -95,13 +172,23 @@ def moller_trumbore(origin, direction, v0, e1, e2, eps=1e-9):
     return t, valid
 
 
-@functools.partial(jax.jit, static_argnames=("max_leaf",))
-def bvh_intersect(bvh: BVHArrays, origins, directions, max_leaf: int = 4):
+@functools.partial(jax.jit, static_argnames=("max_leaf", "intersector"))
+def bvh_intersect(bvh: BVHArrays, origins, directions, max_leaf: int = 4,
+                  intersector: str = "watertight"):
     """Closest-hit query for a batch of rays.
 
     origins/directions: (R, 3).  Returns (t (R,), prim_id (R,) original triangle
     index or -1, hit (R,) bool).
+
+    ``intersector``: "watertight" (default — the reference's deliberate
+    choice, pspRT.cpp:48-100: edge-grazing rays cannot leak between shared
+    triangles) or "mt" (plain Möller–Trumbore — fewer ops per test, kept as
+    the fast option for throughput-bound sweeps where leaks are absorbed by
+    jittered retries).
     """
+    tri_test = (
+        watertight_intersect if intersector == "watertight" else moller_trumbore
+    )
     M = bvh.bbox_min.shape[0]
     inf = jnp.asarray(jnp.inf, bvh.leaf_v0.dtype)
     origins = jnp.asarray(origins, bvh.leaf_v0.dtype)
@@ -137,7 +224,7 @@ def bvh_intersect(bvh: BVHArrays, origins, directions, max_leaf: int = 4):
                 e2 = bvh.leaf_e2[node]
                 ids = bvh.leaf_tri_id[node]
                 mask = jnp.arange(v0.shape[0]) < count
-                t, valid = moller_trumbore(origin, direction, v0, e1, e2)
+                t, valid = tri_test(origin, direction, v0, e1, e2)
                 t = jnp.where(valid & mask & (t < bt), t, inf)
                 j = jnp.argmin(t)
                 better = t[j] < bt
@@ -172,14 +259,17 @@ def brute_force_intersect(tri_v0, tri_e1, tri_e2, origins, directions):
     return jax.vmap(one)(origins, directions)
 
 
-@functools.partial(jax.jit, static_argnames=("max_leaf",))
-def bvh_any_hit_before(bvh: BVHArrays, origins, directions, t_max, max_leaf: int = 4):
+@functools.partial(jax.jit, static_argnames=("max_leaf", "intersector"))
+def bvh_any_hit_before(bvh: BVHArrays, origins, directions, t_max,
+                       max_leaf: int = 4, intersector: str = "watertight"):
     """Occlusion query: does any triangle lie at t in (eps, t_max)?
 
     Used for target visibility (python/upsp/cam_cal_utils/visibility.py:392
     semantics: offset origins, ray toward the camera, any hit = occluded).
     """
-    t, prim, hit = bvh_intersect(bvh, origins, directions, max_leaf=max_leaf)
+    t, prim, hit = bvh_intersect(
+        bvh, origins, directions, max_leaf=max_leaf, intersector=intersector
+    )
     return hit & (t < t_max)
 
 

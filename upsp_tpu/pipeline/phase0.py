@@ -12,6 +12,7 @@ InitializeImagePatches (:2088), getTargets (:56), get_target_diameters (:117).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -261,7 +262,18 @@ def run_phase0(
     image_hw = (H, W)
     bit_depths = bit_depths or [12] * len(first_frames)
 
-    bvh = build_bvh(model.vertices, model.triangles, leaf_size=max_leaf)
+    # SAH-bucket splits when the ray budget dominates the build (campaign-
+    # scale meshes; the reference always builds SAH, pspRT.cpp:499-525 —
+    # below the threshold the median build's lower constant wins on the
+    # phase-0 wall clock).  UPSP_BVH_METHOD=median|sah overrides.
+    bvh_method = os.environ.get(
+        "UPSP_BVH_METHOD",
+        "sah" if model.triangles.shape[0] >= 2_000_000 else "median",
+    )
+    bvh = build_bvh(
+        model.vertices, model.triangles, leaf_size=max_leaf,
+        method=bvh_method,
+    )
     from upsp_tpu import native as _native
 
     # the device-resident BVH is only needed for the JAX traversal fallback
