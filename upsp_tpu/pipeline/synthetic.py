@@ -47,8 +47,21 @@ def make_synthetic_state(
     registration: str = "pixel",
     filter_type: str = "gaussian",
     seed: int = 0,
+    overlap: str = "best_view",
 ) -> Phase0State:
-    """Deterministic flagship scene: plate grid + overhead camera(s)."""
+    """Deterministic flagship scene: plate grid + overhead camera(s).
+
+    ``overlap`` mirrors the deck option (reference default BestView,
+    upsp_inputs.h: each node sources from exactly ONE camera — the one
+    viewing it least obliquely).  "best_view" assigns each node to the
+    camera whose projection lands nearest its principal point (the
+    synthetic analog of the obliqueness criterion), which is what the
+    production phase-1 fast path (combined gather + fused warp+filter
+    tail) keys on; "average_view" keeps every camera's weight positive
+    (the reference's AverageViews functor), exercising the per-camera
+    gather-and-sum path.  Until round 5 this builder always produced
+    average-view weights, so multi-camera benchmarks measured the slow
+    path against a best_view config."""
     H, W = image_hw
     imax, jmax = grid_shape
     rng = np.random.default_rng(seed)
@@ -90,6 +103,8 @@ def make_synthetic_state(
         projections.append(
             NodeProjection(
                 pixel_index=jnp.asarray(np.where(visible, row * W + col, 0)),
+                # provisional equal weights; resolved to the overlap policy
+                # below once every camera's projection exists
                 weight=jnp.asarray(
                     (visible / max(n_cameras, 1)).astype(np.float32)
                 ),
@@ -108,6 +123,22 @@ def make_synthetic_state(
         ref = make_reference_frame(image_hw, seed=seed + c)
         ref_frames.append(ref)
 
+    if overlap == "best_view" and n_cameras > 1:
+        # BestView: each node's weight concentrates on the camera seeing it
+        # most centrally (stand-in for the reference's obliqueness rule);
+        # exactly one positive weight per node — the production fast-path
+        # contract (phase1.phase1_params combined gather)
+        uu = np.stack([np.asarray(p.u) for p in projections])  # (C, N)
+        vv = np.stack([np.asarray(p.v) for p in projections])
+        vis = np.stack([np.asarray(p.visible) for p in projections])
+        offc = np.hypot(uu - 0.5, vv - 0.5)
+        offc[~vis] = np.inf
+        best = offc.argmin(axis=0)  # (N,)
+        any_vis = vis.any(axis=0)
+        for c in range(n_cameras):
+            w = ((best == c) & any_vis).astype(np.float32)
+            projections[c] = projections[c]._replace(weight=jnp.asarray(w))
+    cfg.overlap = overlap
     skipped = identify_skipped_nodes(projections)
     return Phase0State(
         model=model,
