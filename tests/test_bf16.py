@@ -35,6 +35,7 @@ def _full_scale(state):
     return float(np.nanmax(np.asarray(state.ref_frames)))
 
 
+@pytest.mark.slow
 class TestChunkParity:
     def test_fft_mode_intensity_parity(self, scene):
         state, frames = scene

@@ -59,6 +59,7 @@ class TestVisibility:
         assert len(vis_tgts) <= len(fixture["tgts"])
 
 
+@pytest.mark.slow
 class TestTwoStage:
     def test_recovers_stored_pose(self, fixture):
         rmat0 = rot(0.25, "x") @ fixture["rmat"]
@@ -105,6 +106,7 @@ class TestTwoStage:
         assert np.sqrt((err**2).mean()) < 1.0  # docs/md/upsp-swdd.md:61 target
 
 
+@pytest.mark.slow
 class TestJointBA:
     """The BA north star: refine BOTH fixture cameras jointly.
 

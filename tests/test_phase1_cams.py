@@ -34,6 +34,7 @@ def _run(state, frames, **kw):
     return np.asarray(sol), np.asarray(tele)
 
 
+@pytest.mark.slow
 class TestCameraVmapEquivalence:
     def test_fft_mode(self, scene):
         state, frames = scene

@@ -225,6 +225,7 @@ class TestExternalCalibrationCLI:
             capture_output=True, text=True, env=env, timeout=400,
         )
 
+    @pytest.mark.slow
     def test_two_camera_joint_ba(self, tmp_path):
         ref = "/root/reference/test/data"
         if not os.path.exists(ref):
