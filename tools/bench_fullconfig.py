@@ -9,6 +9,7 @@ Usage: python tools/bench_fullconfig.py [--mode fft|scan|cold] [--frames 32]
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -34,6 +35,8 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--compute-dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--no-slab", action="store_true",
+                    help="disable the Pallas slab projection gather")
     ap.add_argument("--no-vmap-cameras", action="store_true",
                     help="force the per-camera Python loop path")
     ap.add_argument("--json-out", default=None,
@@ -50,7 +53,27 @@ def main():
     from upsp_tpu.pipeline.synthetic import make_synthetic_state
 
     t0 = time.time()
-    state = make_synthetic_state(n_cameras=C, image_hw=(H, W), grid_shape=(gi, gj))
+    # the 4-cam 2 MP 1M-node state costs ~16 min of host time on 2 CPUs
+    # (patch-operator builds); cache it on disk so perf iteration is not
+    # bound by state construction (cache key = the shape-defining args)
+    cache = f"/root/state_cache_{C}x{H}x{W}_{gi}x{gj}.pkl"
+    if os.path.exists(cache):
+        import pickle
+
+        with open(cache, "rb") as fh:
+            state = pickle.load(fh)
+        print(f"state loaded from {cache}", flush=True)
+    else:
+        state = make_synthetic_state(
+            n_cameras=C, image_hw=(H, W), grid_shape=(gi, gj)
+        )
+        import pickle
+
+        try:
+            with open(cache, "wb") as fh:
+                pickle.dump(state, fh)
+        except Exception as e:  # cache is best-effort
+            print(f"state cache write failed: {e}", flush=True)
     n_nodes = state.model.size
     print(f"state built: {C} cams x {H}x{W} ({H*W/1e6:.2f} MP), "
           f"{n_nodes/1e6:.2f}M nodes [{time.time()-t0:.1f}s]", flush=True)
@@ -64,7 +87,11 @@ def main():
         ecc_coarse_iters=args.ecc_coarse_iters if args.mode == "fft" else None,
         compute_dtype=args.compute_dtype,
         vmap_cameras=False if args.no_vmap_cameras else None,
+        slab_gather=False if args.no_slab else None,
     )
+    slab_plan = getattr(fn, "slab_plan", None)
+    print(f"slab gather: {'ON (%d tiles, %.2fx slots)' % (slab_plan.n_tiles, slab_plan.n_slots / n_nodes) if slab_plan is not None else 'off'}",
+          flush=True)
 
     # synthetic frames: base scene + per-frame sub-pixel shifts via roll of an
     # upsampled pattern is too slow on 2 host cores at 2 MP; use integer
@@ -102,6 +129,17 @@ def main():
     t1 = per_call_seconds(full_step, inputs, r1=1, r2=4, trials=args.reps)
     print(f"phase1: {t1*1e3:.0f} ms / {F} frames = {F/t1:.1f} frames/s/chip",
           flush=True)
+    t_fin = None
+    if slab_plan is not None:
+        # host unpermute cost (overlaps device compute in the driver; on
+        # this 2-CPU host it is reported, not added to the device fps)
+        from upsp_tpu.ops.pallas_gather import finalize_host
+        sols_np = np.asarray(sols)
+        t0 = time.perf_counter()
+        _ = finalize_host(slab_plan, sols_np, fn.skipped_eff)
+        t_fin = (time.perf_counter() - t0) / F
+        print(f"host finalize (np.take): {t_fin*1e3:.2f} ms/frame "
+              f"(overlapped in the driver)", flush=True)
 
     t2 = None
     if not args.phase1_only:
@@ -140,11 +178,14 @@ def main():
                 "nodes": int(n_nodes), "frames": F, "mode": args.mode,
                 "frame_batch": args.frame_batch,
                 "compute_dtype": args.compute_dtype,
+                "slab_gather": slab_plan is not None,
             },
             "t_frame_ms_phase1": round(t1 * 1e3 / F, 4),
             "fps_phase1": round(F / t1, 2),
             "command": " ".join(sys.argv),
         }
+        if t_fin is not None:
+            rec["host_finalize_ms_per_frame"] = round(t_fin * 1e3, 3)
         if t2 is not None:
             rec["t_phase2_ms_per_chunk"] = round(t2 * 1e3, 2)
             rec["t_frame_ms_end2end"] = round((t1 + t2) * 1e3 / F, 4)

@@ -178,6 +178,8 @@ def _process_frame_core(
     compute_dtype=jnp.float32,  # image dtype between stages (f32 | bf16)
     ecc_impl: str = "auto",  # GN-step backend: auto | jnp | pallas
     fix_hot: bool = True,  # hot-pixel repair (False when done by the caller)
+    slab_fn=None,  # bound ops/pallas_gather kernel: combined gather in
+    #                SLOT order (skip mask + unpermute move to the host)
 ):
     """One multi-camera frame -> (intensity (N,), warps (C,2,3), telemetry (C,5)).
 
@@ -333,6 +335,17 @@ def _process_frame_core(
             sol = c_sol if sol is None else sol + c_sol
     if params.combined_index is not None:
         stacked = jnp.stack(processed).reshape(-1)  # (C*H*W,)
+        if slab_fn is not None:
+            # block-local Pallas gather (ops/pallas_gather.py): SLOT-order
+            # output; supersession is composed into the plan and the skip
+            # mask + inverse permutation run on the host (finalize_host) —
+            # a device-side unpermute would re-pay the scattered-gather
+            # cost the kernel removes
+            sol = slab_fn(stacked)
+            for c, vals in overlays:
+                ni, ns, nw = params.corr_nodes[c]  # slot-space (remapped)
+                sol = sol.at[ni].set(vals.reshape(-1)[ns] * nw)
+            return sol, jnp.stack(warps), jnp.stack(telemetry)
         sol = stacked[params.combined_index] * params.combined_weight
         for c, vals in overlays:
             # fused-tail patch overlay: the kernel image skipped patching;
@@ -600,6 +613,7 @@ def make_chunk_processor(
     vmap_cameras: Optional[bool] = None,
     ecc_impl: str = "auto",
     pre_shift: Optional[bool] = None,
+    slab_gather: Optional[bool] = None,
 ):
     """Build the chunk program: (F, C, H, W) frames -> (F, N) intensities.
 
@@ -726,6 +740,66 @@ def make_chunk_processor(
         pre_shift = False
         if static["ecc_impl"] == "auto":
             static["ecc_impl"] = "jnp"
+
+    # block-local Pallas projection gather (ops/pallas_gather.py): replaces
+    # the 1M-index combined gather (~3 ms/frame of scattered HBM loads at
+    # the full config) with a slab-streaming kernel in SLOT order; the
+    # caller unpermutes + NaN-masks on the host (fn.slab_plan /
+    # fn.skipped_eff).  Auto: TPU + combined path + campaign-scale node
+    # counts (below ~200k nodes the XLA gather is cheap and model order on
+    # device is simpler).  UPSP_SLAB_GATHER=1/0 overrides.
+    import os as _os
+
+    _env = _os.environ.get("UPSP_SLAB_GATHER")
+    if _env is not None:
+        slab_gather = _env == "1"
+    if slab_gather is None:
+        slab_gather = (
+            jax.default_backend() == "tpu"
+            and p.combined_index is not None
+            and int(p.skipped.shape[0]) >= 200_000
+        )
+    slab_gather = bool(
+        slab_gather and p.combined_index is not None and not vmap_cameras
+    )
+    slab_plan = skipped_eff = None
+    if slab_gather:
+        import numpy as np
+
+        from upsp_tpu.ops.pallas_gather import (
+            build_slab_gather,
+            expand_overlay_slots,
+            make_slab_gather_fn,
+        )
+
+        sup_np = np.asarray(p.superseded_by)
+        slab_plan = build_slab_gather(
+            np.asarray(p.combined_index), np.asarray(p.combined_weight),
+            sup_np, state.image_hw, n_cams,
+        )
+        static["slab_fn"] = make_slab_gather_fn(slab_plan)
+        # the host applies the skip mask AFTER the (composed-supersession)
+        # unpermute, so the effective mask is the primary's skip state
+        skipped_eff = np.asarray(p.skipped)[sup_np]
+        # overlay corrections move to slot space (expanding superseded
+        # copies, which the composed gather no longer duplicates)
+        new_cn = []
+        for cn in p.corr_nodes:
+            if cn is None:
+                new_cn.append(None)
+                continue
+            ni, ns, nw = (np.asarray(a) for a in cn)
+            slots, sel = expand_overlay_slots(slab_plan, ni, sup_np)
+            new_cn.append(
+                (
+                    jnp.asarray(slots),
+                    jnp.asarray(ns[sel]),
+                    jnp.asarray(nw[sel]),
+                )
+            )
+        import dataclasses as _dc
+
+        p = _dc.replace(p, corr_nodes=tuple(new_cn))
     unpack_chunk = (
         _make_unpacker(packed_bits, lut, use_pallas, state.image_hw)
         if packed
@@ -861,7 +935,17 @@ def make_chunk_processor(
             return sols, teles
         return sols
 
-    return process
+    if slab_plan is None:
+        return process
+
+    def process_slab(chunk: jax.Array):
+        return process(chunk)
+
+    # slot-order contract: callers finalize fetched intensities with
+    # ops/pallas_gather.finalize_host(fn.slab_plan, sols, fn.skipped_eff)
+    process_slab.slab_plan = slab_plan
+    process_slab.skipped_eff = skipped_eff
+    return process_slab
 
 
 def make_packed_chunk_processor(

@@ -335,7 +335,9 @@ class _BandGuard:
         self._build = lambda: make_chunk_processor(
             state, warm_start=warm_start, frame_batch=1,
             with_telemetry=True, packed=use_packed,
-            compute_dtype=compute_dtype, ecc_impl="jnp", **packed_kw
+            compute_dtype=compute_dtype, ecc_impl="jnp",
+            slab_gather=False,  # fallback rows must be model-order
+            **packed_kw
         )
         self._dense = None
         self.reprocessed = 0
@@ -500,6 +502,15 @@ def run_datapoint(
         )
     intensity = np.empty((n_frames, n_nodes), np.float32)
     reg_telemetry = None  # allocated lazily from the first chunk's width
+    slab_plan = getattr(fn, "slab_plan", None)
+    if slab_plan is not None:
+        from upsp_tpu.ops.pallas_gather import finalize_host
+
+        log.info(
+            "phase1: slab-gather kernel active (%d tiles, %.2fx slots); "
+            "host-side unpermute per chunk",
+            slab_plan.n_tiles, slab_plan.n_slots / n_nodes,
+        )
 
     for start, valid, batch in _batch_iter(
         frames_array, readers, n_frames, start0, frames_per_chunk,
@@ -508,6 +519,8 @@ def run_datapoint(
         out, tele = fn(batch)
         tele_np = fetch_global(tele)[:valid]
         sol_np = fetch_global(out)[:valid]
+        if slab_plan is not None:
+            sol_np = finalize_host(slab_plan, sol_np, fn.skipped_eff)
         guard(sol_np, tele_np, batch, start)
         if reg_telemetry is None:
             reg_telemetry = np.empty(
@@ -648,15 +661,20 @@ def run_datapoint_streaming(
     camset = _camera_settings(readers, cfg, state)
     n_nodes = state.model.size
     use_packed, packed_kw = _packed_ingest_config(readers, frames_array, device_unpack)
+    pid, pcount = _dist_info(mesh)
     fn = make_chunk_processor(
         state, mesh=mesh, warm_start=warm_start,
         frame_batch=frame_batch if warm_start == "fft" else 1,
         with_telemetry=True,
-        packed=use_packed, compute_dtype=compute_dtype, **packed_kw
+        packed=use_packed, compute_dtype=compute_dtype,
+        # multi-process streaming reshards the DEVICE array to node-major
+        # for the per-host transposed-file folds, which requires model
+        # order on device — the slot-order slab path stays single-process
+        slab_gather=False if pcount > 1 else None,
+        **packed_kw
     )
     guard = _BandGuard(state, warm_start, use_packed, packed_kw, compute_dtype)
     ffs = FlatFileSet(cfg.out_dir)
-    pid, pcount = _dist_info(mesh)
     if pcount > 1:
         return _streaming_multiprocess(
             cfg, state, camset, readers, frames_array, n_frames, start0,
@@ -670,12 +688,17 @@ def run_datapoint_streaming(
 
     writer = native.AsyncWriter(ffs.path("intensity"))
     try:
+        slab_plan = getattr(fn, "slab_plan", None)
+        if slab_plan is not None:
+            from upsp_tpu.ops.pallas_gather import finalize_host
         for start, valid, batch in _batch_iter(
             frames_array, readers, n_frames, start0, frames_per_chunk,
             use_packed, mesh,
         ):
             out, tele = fn(batch)
             out = fetch_global(out)[:valid]
+            if slab_plan is not None:
+                out = finalize_host(slab_plan, out, fn.skipped_eff)
             guard(out, fetch_global(tele)[:valid], batch, start)
             writer.submit(start * n_nodes * 4, out.astype("<f4"))
             with np.errstate(invalid="ignore"):
