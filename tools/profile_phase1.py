@@ -96,9 +96,19 @@ def main():
     from upsp_tpu.pipeline.phase1 import make_chunk_processor
     from upsp_tpu.pipeline.synthetic import make_frame_batch, make_synthetic_state
 
-    state = make_synthetic_state(
-        n_cameras=args.cams, image_hw=(H, W), grid_shape=(gi, gj)
-    )
+    # share bench_fullconfig's state cache (the 4-cam 2 MP state costs
+    # ~16 min of host time)
+    cache = f"/root/state_cache_{args.cams}x{H}x{W}_{gi}x{gj}.pkl"
+    if os.path.exists(cache):
+        import pickle
+
+        with open(cache, "rb") as fh:
+            state = pickle.load(fh)
+        print(f"state loaded from {cache}", flush=True)
+    else:
+        state = make_synthetic_state(
+            n_cameras=args.cams, image_hw=(H, W), grid_shape=(gi, gj)
+        )
     n_distinct = min(8, args.frames)
     distinct = make_frame_batch(state, n_distinct)
     reps_tile = -(-args.frames // n_distinct)
