@@ -561,7 +561,7 @@ def _make_unpacker(packed_bits: int, lut, use_pallas: Optional[bool], image_hw):
     return unpack_chunk
 
 
-def _batched_map(one, frames, frame_batch: int):
+def _batched_map(one, frames, frame_batch: int, unroll: bool = False):
     """``lax.map(vmap(one))`` over frame batches; exact-size tail batch.
 
     B frames per loop step: elementwise passes and reductions amortize across
@@ -584,8 +584,23 @@ def _batched_map(one, frames, frame_batch: int):
     batched = frames[: n_full * frame_batch].reshape(
         (n_full, frame_batch) + frames.shape[1:]
     )
-    outs = jax.lax.map(jax.vmap(one), batched)
-    outs = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), outs)
+    if unroll and n_full <= 4:
+        # unrolled: lax.map's per-step result stacking lowers to
+        # dynamic-update-slices that cost ~470 us/frame at the 1M-node
+        # full config (layout-mismatched copies of the slab-tiled
+        # outputs); a short unrolled loop lets XLA place each batch's
+        # outputs directly.  Only engaged on the slab-gather path — at
+        # the 1 MP headline the unrolled program measured 8% SLOWER
+        # (lax.map pipelines the small-output program better).
+        parts = [jax.vmap(one)(batched[i]) for i in range(n_full)]
+        outs = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts
+        )
+    else:
+        outs = jax.lax.map(jax.vmap(one), batched)
+        outs = jax.tree.map(
+            lambda a: a.reshape((-1,) + a.shape[2:]), outs
+        )
     if rem:
         tail = jax.vmap(one)(frames[n_full * frame_batch :])
         outs = jax.tree.map(
@@ -895,7 +910,9 @@ def make_chunk_processor(
                 )
                 return sol, tele
 
-            sols, teles = _batched_map(one, frames, frame_batch)
+            sols, teles = _batched_map(
+                one, frames, frame_batch, unroll=slab_plan is not None
+            )
         else:
             # without a while_loop ECC solve the frame program has no
             # data-dependent control flow, so it batches like fft mode
@@ -910,7 +927,8 @@ def make_chunk_processor(
                 return sol, tele
 
             sols, teles = _batched_map(
-                one, frames, frame_batch if batchable else 1
+                one, frames, frame_batch if batchable else 1,
+                unroll=slab_plan is not None,
             )
         return sols, teles
 
