@@ -864,9 +864,24 @@ def make_chunk_processor(
                     from upsp_tpu.ops.image import fix_hot_pixels
                     from upsp_tpu.ops.warp import integer_shift
 
-                    # (Pallas hot-pixel kernel measured slower here — see
-                    # _process_frame_core note)
-                    fixed = [fix_hot_pixels(frame[c]) for c in range(n_cams)]
+                    # hot-pixel impl is SIZE-GATED: the Pallas one-pass
+                    # kernel measured SLOWER at the 1 MP headline (3503 vs
+                    # 3672 fps — the kernel boundary costs more than the
+                    # fused XLA select) but FASTER at the 2.16 MP full
+                    # config (204.1 vs 197.5 fps — at 4 cam x 2 MP the
+                    # select chain's extra HBM passes dominate the
+                    # boundary).  UPSP_HOTPIXEL_IMPL=pallas|xla overrides.
+                    _fh = fix_hot_pixels
+                    _hp = _os.environ.get("UPSP_HOTPIXEL_IMPL")
+                    if _hp == "pallas" or (
+                        _hp is None
+                        and state.image_hw[0] * state.image_hw[1] >= 2_000_000
+                        and jax.default_backend() == "tpu"
+                    ):
+                        from upsp_tpu.ops.pallas_ecc import (
+                            fix_hot_pixels_pallas as _fh,
+                        )
+                    fixed = [_fh(frame[c]) for c in range(n_cams)]
                     tvecs = jnp.stack(
                         [correlate(tmpls[c], fixed[c]) for c in range(n_cams)]
                     )
