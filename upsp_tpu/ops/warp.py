@@ -231,22 +231,34 @@ def downsample2(img: jax.Array) -> jax.Array:
     return img[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).mean(axis=(1, 3))
 
 
-def integer_shift(img: jax.Array, t_int: jax.Array) -> jax.Array:
+MAX_INTEGER_SHIFT = 64  # px; see integer_shift
+
+
+def integer_shift(img: jax.Array, t_int: jax.Array,
+                  max_shift: int = MAX_INTEGER_SHIFT) -> jax.Array:
     """Zero-filled integer translation: out(y, x) = img(y + ty, x + tx).
 
-    ``t_int``: (2,) [tx, ty] integer-valued (float ok).  Matches sampling the
-    image at the translated position with BORDER_CONSTANT zeros — the warp
-    convention of :func:`warp_affine_mxu` for a pure integer translation.
-    One dynamic roll + an elementwise mask; cheap under vmap.
+    ``t_int``: (2,) [tx, ty] integer-valued (float ok), |t| <= max_shift.
+    Matches sampling the image at the translated position with
+    BORDER_CONSTANT zeros — the warp convention of :func:`warp_affine_mxu`
+    for a pure integer translation.
+
+    Implemented as pad + ``dynamic_slice`` (2.3x faster than the previous
+    dynamic ``jnp.roll``, whose lowering is a concatenate+gather pair —
+    83.8 vs 196.5 us per 2.16 MP image, measured round 5).  Shifts beyond
+    ``max_shift`` clamp; callers must clamp their own shift record the
+    same way (phase1 does) so the composed warp stays consistent — an
+    over-clamped frame then carries a large ECC residual, trips the
+    banded-warp displacement certificate, and reprocesses on the dense
+    path.  Production shifts are ~1 px (prior sigma 12 px), so the clamp
+    is a never-taken guard rail.
     """
     H, W = img.shape
-    tx = t_int[0].astype(jnp.int32)
-    ty = t_int[1].astype(jnp.int32)
-    r = jnp.roll(img, (-ty, -tx), (0, 1))
-    ys = jnp.arange(H)[:, None]
-    xs = jnp.arange(W)[None, :]
-    m = (ys + ty >= 0) & (ys + ty < H) & (xs + tx >= 0) & (xs + tx < W)
-    return jnp.where(m, r, 0.0)
+    M = max_shift
+    tx = jnp.clip(t_int[0].astype(jnp.int32), -M, M)
+    ty = jnp.clip(t_int[1].astype(jnp.int32), -M, M)
+    p = jnp.pad(img, ((M, M), (M, M)))
+    return jax.lax.dynamic_slice(p, (M + ty, M + tx), (H, W))
 
 
 def scale_warp(warp: jax.Array, factor: float) -> jax.Array:

@@ -885,7 +885,16 @@ def make_chunk_processor(
                     tvecs = jnp.stack(
                         [correlate(tmpls[c], fixed[c]) for c in range(n_cams)]
                     )
-                    t_int = jnp.rint(tvecs)
+                    # clamp to integer_shift's pad budget so the recorded
+                    # shift and the shifted image stay consistent; an
+                    # over-clamped frame carries the excess in the ECC
+                    # residual and the displacement certificate reprocesses
+                    # it on the dense path
+                    from upsp_tpu.ops.warp import MAX_INTEGER_SHIFT
+
+                    t_int = jnp.clip(
+                        jnp.rint(tvecs), -MAX_INTEGER_SHIFT, MAX_INTEGER_SHIFT
+                    )
                     shifted = jnp.stack(
                         [
                             integer_shift(
