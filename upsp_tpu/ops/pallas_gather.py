@@ -18,9 +18,11 @@ byte once instead of issuing 1M scattered HBM loads: ~45 MB of streamed
 traffic vs ~3 ms of pointer chasing.
 
 The kernel returns the gathered intensities in SLOT order (nodes grouped
-by slab, padded ~15-20% so every (slab-row, lane-tile) is full).  Callers
-keep the node axis in slot order on device and un-permute ON THE HOST
-(``SlabGather.slot_to_node``) after fetching — a np.take that overlaps
+by slab; padding fills each (slab-row, lane-tile) — measured 1.55x slots
+at the 4-cam 2 MP 1M-node config, paid only in the cheap slot-space tail,
+not in kernel work: empty lanes are weight-0 selects).  Callers keep the
+node axis in slot order on device and un-permute ON THE HOST
+(``SlabGather.node_slot``) after fetching — a np.take that overlaps
 device compute; putting the inverse permutation on device would re-pay the
 exact scattered-gather cost this kernel removes.  Overlap supersession
 (``superseded_by``) is composed INTO the source indices at build time, and
